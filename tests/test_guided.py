@@ -1,0 +1,31 @@
+import numpy as np
+import pytest
+
+from tpuimg import box_filter, guided_filter
+from tpuimg.oracle import box_filter_ref, guided_filter_ref
+
+
+@pytest.mark.parametrize("border", ["shrink", "reflect101"])
+@pytest.mark.parametrize("radius", [1, 4, 8])
+def test_box_filter_matches_oracle(rng, border, radius):
+    img = rng.random((48, 64), dtype=np.float32)
+    out = np.asarray(box_filter(img, radius, border=border))
+    ref = box_filter_ref(img, radius, border=border)
+    assert np.abs(out - ref).max() < 1e-5
+
+
+@pytest.mark.parametrize("border", ["shrink", "reflect101"])
+@pytest.mark.parametrize("radius,eps", [(1, 0.3), (4, 1e-3), (8, 1e-3)])
+def test_guided_filter_matches_oracle(rng, border, radius, eps):
+    I = rng.random((56, 72), dtype=np.float32)
+    p = np.clip(I + 0.1 * rng.standard_normal((56, 72)), 0, 1).astype(np.float32)
+    out = np.asarray(guided_filter(I, p, radius, eps, border=border))
+    ref = guided_filter_ref(I, p, radius, eps, border=border)
+    assert np.abs(out - ref).max() < 1e-3  # BASELINE.json float tolerance
+
+
+def test_guided_filter_self_guide(rng):
+    I = rng.random((40, 40), dtype=np.float32)
+    out = np.asarray(guided_filter(I, I, 4, 1e-2))
+    ref = guided_filter_ref(I, I, 4, 1e-2)
+    assert np.abs(out - ref).max() < 1e-3

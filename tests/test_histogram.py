@@ -1,0 +1,62 @@
+import numpy as np
+import pytest
+
+from tpuimg import clahe, hist_equalize
+from tpuimg.oracle import clahe_ref, hist_equalize_ref
+from tpuimg.oracle.numpy_ref import (
+    clahe_clip_ref,
+    clahe_tile_hists_ref,
+)
+from tpuimg.ops.histogram import _clip_redistribute, bincount256
+
+
+def test_bincount256(rng):
+    img = rng.integers(0, 256, (50, 60), dtype=np.uint8)
+    import jax.numpy as jnp
+
+    hist = np.asarray(bincount256(jnp.asarray(img)))
+    np.testing.assert_array_equal(hist, np.bincount(img.ravel(), minlength=256))
+
+
+def test_hist_equalize_exact(rng):
+    img = rng.integers(0, 256, (90, 130), dtype=np.uint8)
+    np.testing.assert_array_equal(np.asarray(hist_equalize(img)), hist_equalize_ref(img))
+
+
+def test_hist_equalize_lowcontrast(rng):
+    img = rng.integers(100, 140, (64, 64)).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(hist_equalize(img)), hist_equalize_ref(img))
+
+
+@pytest.mark.parametrize("limit", [0, 1, 5, 100])
+def test_clip_redistribute_matches_serial(rng, limit):
+    import jax.numpy as jnp
+
+    hists = rng.integers(0, 300, (6, 256)).astype(np.int64)
+    ref = clahe_clip_ref(hists, limit)
+    out = np.asarray(_clip_redistribute(jnp.asarray(hists, jnp.int32), limit))
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("shape,tiles", [((128, 128), (4, 4)), ((90, 110), (8, 8)),
+                                         ((64, 200), (2, 5))])
+def test_clahe_matches_oracle(rng, shape, tiles):
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    xt, yt = tiles
+    out = np.asarray(clahe(img, clip_limit=40.0, xtiles=xt, ytiles=yt))
+    ref = clahe_ref(img, 40.0, xt, yt)
+    # All-integer histograms + f32 LUT math: allow 1 gray level for
+    # fma/ordering differences in the bilinear blend.
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+    assert (out != ref).mean() < 0.01
+
+
+def test_clahe_tile_hists_sum(rng):
+    # Each tile histogram must count exactly tile_width*tile_height pixels
+    # (reference debug check, clahe.cpp:43-57).
+    img = rng.integers(0, 256, (90, 110), dtype=np.uint8)
+    hists = clahe_tile_hists_ref(img, 8, 8)
+    from tpuimg.oracle.numpy_ref import clahe_tile_geometry
+
+    tw, th, _, _ = clahe_tile_geometry(90, 110, 8, 8)
+    assert (hists.sum(axis=1) == tw * th).all()

@@ -1,0 +1,60 @@
+"""Separable Gaussian blur.
+
+Reference: GaussianFilter/gaussian.cu — a ladder of 5 CUDA kernels
+(naive/const/share/split/optim, gaussian.cu:25-306) all computing a 2D
+convolution with reflect-101 border and weights from
+``cv::getGaussianKernel`` (gaussian.cu:443-446).
+
+TPU design: the separable symmetric form ``k[i]*(x[-i] + x[+i])``
+(the `gGaussSplit` trick, gaussian.cu:129-178) expressed as shift-and-add over
+a reflect-padded image. XLA fuses the whole pyramid into one HBM-bandwidth
+pass per axis; a fused Pallas strip kernel (kernels/sep_stencil.py) is the
+`gGaussOptim` analog.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuimg.core.borders import REFLECT101, pad_mode
+from tpuimg.core.kernelgen import gaussian_kernel_1d
+
+
+def _sep_pass(img, weights, axis: int):
+    """One separable pass along ``axis`` (already padded by radius there)."""
+    radius = (len(weights) - 1) // 2
+    n = img.shape[axis] - 2 * radius
+
+    def sl(off):
+        return jax.lax.slice_in_dim(img, off, off + n, axis=axis)
+
+    center = sl(radius)
+    acc = weights[radius] * center
+    for i in range(1, radius + 1):
+        # symmetric-kernel trick (gaussian.cu:160-168): k[i]*(left + right)
+        acc = acc + weights[radius - i] * (sl(radius - i) + sl(radius + i))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "sigma", "impl"))
+def gaussian(img, radius: int, sigma: float, impl: str = "xla"):
+    """Gaussian blur of a float32 image (..., H, W), reflect-101 border.
+
+    Matches reference output of every kernel in the gaussian.cu ladder.
+    """
+    if radius < 1:
+        raise ValueError(f"radius must be >= 1, got {radius}")
+    if impl == "pallas":
+        from tpuimg.kernels.sep_stencil import gaussian_pallas
+
+        return gaussian_pallas(img, radius, sigma)
+    img = jnp.asarray(img, jnp.float32)
+    w = [float(v) for v in np.asarray(gaussian_kernel_1d(2 * radius + 1, sigma))]
+    pad = [(0, 0)] * (img.ndim - 2) + [(radius, radius), (radius, radius)]
+    p = jnp.pad(img, pad, mode=pad_mode(REFLECT101))
+    rows = _sep_pass(p, w, axis=img.ndim - 1)  # horizontal, rows still padded
+    return _sep_pass(rows, w, axis=img.ndim - 2)

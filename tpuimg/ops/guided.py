@@ -1,0 +1,123 @@
+"""Box filter + guided filter (He et al., per-channel scalar variant).
+
+Reference: GuidedFilter/ — two implementations:
+- class path (GuidedFilter::run, guided_filter.cpp:28-66): 6 box filters via
+  row/col Blelloch scans to an integral image (gScanLongRow/Col,
+  guided_filter_d.cu:10-238) + 4-corner window mean with shrink-to-image
+  normalization (gIntegralToMean :241-270), then a/b/q elementwise chain.
+- fused small-radius path (hGuidedFilter :1047-1093): gCalcAB computes the four
+  windowed means of P, I, I*P, I*I in one rolling-strip kernel with reflect-101
+  border and fixed 1/ksz² normalization (:421-669), gWeightByABm box-sums A,B
+  and forms q = (ΣA·I + ΣB)/ksz² (:672-858).
+
+TPU design: windowed sums along an axis are cumsum differences (one pass per
+axis, XLA-fused); the elementwise a/b/q chain fuses for free. The Pallas fused
+kernel (kernels/boxsum.py) mirrors gCalcAB's one-pass 4-sum structure.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpuimg.core.borders import REFLECT101, SHRINK, pad_mode
+
+
+def _window_sum(x, radius: int, axis: int, border: str):
+    """Sliding sum of width 2r+1 along ``axis`` with the given border policy.
+
+    Computed as a cumsum difference: s[i] = c[i + 2r + 1] - c[i] over the
+    padded, zero-prepended cumulative sum — one HBM pass, no (2r+1)-deep loop.
+    """
+    n = x.shape[axis]
+    ksz = 2 * radius + 1
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (radius, radius)
+    xp = jnp.pad(x, pad, mode=pad_mode(border))
+    c = jnp.cumsum(xp, axis=axis, dtype=x.dtype)
+    zpad = [(0, 0)] * x.ndim
+    zpad[axis] = (1, 0)
+    c = jnp.pad(c, zpad)
+    hi = jax.lax.slice_in_dim(c, ksz, ksz + n, axis=axis)
+    lo = jax.lax.slice_in_dim(c, 0, n, axis=axis)
+    return hi - lo
+
+
+def _box_shrink(x, radius: int):
+    """Shrink-window box mean (gIntegralToMean semantics): window clamped to
+    the image, normalized by true area."""
+    h, w = x.shape[-2], x.shape[-1]
+    # Sum with zero padding (constant), then divide by the true window area.
+    pad = [(0, 0)] * x.ndim
+    pad[-2] = pad[-1] = (radius, radius)
+    xp = jnp.pad(x, pad)  # zeros
+    s = _window_sum_zero(xp, radius, h, w)
+    cy = _axis_counts(h, radius)
+    cx = _axis_counts(w, radius)
+    area = (cy[:, None] * cx[None, :]).astype(x.dtype)
+    return s / area
+
+
+def _window_sum_zero(xp, radius: int, h: int, w: int):
+    """Windowed sum over a zero-padded array, cropped back to (h, w)."""
+    c = jnp.cumsum(xp, axis=-1, dtype=xp.dtype)
+    zpad = [(0, 0)] * xp.ndim
+    zpad[-1] = (1, 0)
+    c = jnp.pad(c, zpad)
+    ksz = 2 * radius + 1
+    rows = jax.lax.slice_in_dim(c, ksz, ksz + w, axis=-1) - jax.lax.slice_in_dim(
+        c, 0, w, axis=-1
+    )
+    c2 = jnp.cumsum(rows, axis=-2, dtype=xp.dtype)
+    zpad = [(0, 0)] * xp.ndim
+    zpad[-2] = (1, 0)
+    c2 = jnp.pad(c2, zpad)
+    return jax.lax.slice_in_dim(c2, ksz, ksz + h, axis=-2) - jax.lax.slice_in_dim(
+        c2, 0, h, axis=-2
+    )
+
+
+def _axis_counts(n: int, radius: int):
+    idx = jnp.arange(n)
+    lo = jnp.maximum(0, idx - radius)
+    hi = jnp.minimum(n, idx + 1 + radius)
+    return hi - lo
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "border"))
+def box_filter(x, radius: int, border: str = SHRINK):
+    """Box mean over a (2r+1)² window of a float32 (..., H, W) image.
+
+    border="shrink": reference class-path semantics (gIntegralToMean).
+    border="reflect101": fused-path semantics (fixed 1/ksz², mirrored halo).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    if border == SHRINK:
+        return _box_shrink(x, radius)
+    ksz = 2 * radius + 1
+    rows = _window_sum(x, radius, x.ndim - 1, border)
+    s = _window_sum(rows, radius, x.ndim - 2, border)
+    return s * jnp.float32(1.0 / (ksz * ksz))
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "eps", "border", "impl"))
+def guided_filter(I, p, radius: int, eps: float, border: str = SHRINK,
+                  impl: str = "xla"):
+    """Guided filter q = mean(a)·I + mean(b) with a/b from per-channel
+    variance (gCalcA math, guided_filter_d.cu:306-346)."""
+    if impl == "pallas":
+        from tpuimg.kernels.boxsum import guided_filter_pallas
+
+        return guided_filter_pallas(I, p, radius, eps)
+    I = jnp.asarray(I, jnp.float32)
+    p = jnp.asarray(p, jnp.float32)
+    box = functools.partial(box_filter, radius=radius, border=border)
+    mean_p = box(p)
+    mean_I = box(I)
+    mean_Ip = box(I * p)
+    mean_II = box(I * I)
+    a = (mean_Ip - mean_p * mean_I) / (mean_II - mean_I * mean_I + jnp.float32(eps))
+    b = mean_p - a * mean_I
+    return box(a) * I + box(b)

@@ -1,0 +1,31 @@
+"""Integral image (inclusive 2D prefix sum), uint8 → int32.
+
+Reference: Integral/integral_d.cu — two 4-kernel CUDA pipelines (tile scans →
+Blelloch scans of tile carries → broadcast, hIntegral :863-893). Output
+convention: NO leading zero row/col (Integral/main.cpp:124-125); must be
+bit-exact (res.log: 3000/3000 zero-diff runs).
+
+TPU design: the dependent dimension is handled exactly like the reference's
+hierarchical carry decomposition, but expressed for XLA/Pallas:
+- impl="xla": two ``jnp.cumsum`` passes (XLA lowers to log-depth scans).
+- impl="pallas": tiled one-pass-per-axis kernel with sequential-grid carry
+  (kernels/scan2d.py) — the bandwidth-optimal path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("impl",))
+def integral(img, impl: str = "xla"):
+    """Inclusive 2D prefix sum over the trailing two dims; int32 result."""
+    if impl == "pallas":
+        from tpuimg.kernels.scan2d import integral_pallas
+
+        return integral_pallas(img)
+    x = jnp.asarray(img).astype(jnp.int32)
+    return jnp.cumsum(jnp.cumsum(x, axis=-1, dtype=jnp.int32), axis=-2, dtype=jnp.int32)

@@ -1,0 +1,103 @@
+"""Grayscale morphology: erode/dilate/open/close, square SE, replicate border.
+
+Reference: Morphology/ — radius-adaptive ladder (hMorphology,
+image_process.cu:465-516 + morphology.cpp:25-60):
+- r ≤ 6: fused separable min/max rolling strip (gMorphSplit :173-299);
+- 7 ≤ r ≤ 20: van Herk row/col with smem prefix/suffix extremes (:302-423);
+- r > 20: 6-kernel Gil-Werman pipeline with transposes (:31-170).
+mode 0 = erode (min), 1 = dilate (max) per the device fn table (:11-26).
+
+TPU design: one van Herk/Gil-Werman engine for all radii, with no transposes —
+the prefix/suffix running extremes are ``lax.cummax/cummin`` over ksz-sized
+segments obtained by reshape, which XLA executes as vectorized scans on either
+axis (SURVEY.md §7 hard-parts list). Small radii use direct shift-reduce,
+which fuses to a single pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpuimg.core.borders import REPLICATE, pad_mode
+from tpuimg.core.layout import round_up
+
+# Below this radius the (2r+1)-term shift-reduce beats the scan-based van Herk.
+_VANHERK_MIN_RADIUS = 8
+
+
+def _shift_reduce_axis(x, radius: int, axis: int, fn):
+    """Direct separable extreme: fn over 2r+1 shifted slices (axis pre-padded)."""
+    n = x.shape[axis] - 2 * radius
+    acc = jax.lax.slice_in_dim(x, 0, n, axis=axis)
+    for off in range(1, 2 * radius + 1):
+        acc = fn(acc, jax.lax.slice_in_dim(x, off, off + n, axis=axis))
+    return acc
+
+
+def _van_herk_axis(x, radius: int, axis: int, fn, cumfn):
+    """van Herk/Gil-Werman along ``axis`` (axis pre-padded by radius).
+
+    result[i] = fn(suffix[i], prefix[i + ksz - 1]) where prefix/suffix are
+    forward/backward running extremes within ksz-aligned segments — the
+    reference's mset1/mset2 decomposition (gCalcMinSet/gCalcMaxSet,
+    image_process.cu:31-100) with reshape+cumscan instead of per-block loops.
+    """
+    ksz = 2 * radius + 1
+    n = x.shape[axis] - 2 * radius  # output length
+    L = x.shape[axis]
+    Lp = round_up(L, ksz)
+    if Lp != L:
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (0, Lp - L)
+        x = jnp.pad(x, pad, mode=pad_mode(REPLICATE))
+    # segments of length ksz on ``axis``
+    new_shape = x.shape[:axis] + (Lp // ksz, ksz) + x.shape[axis + 1 :]
+    seg = x.reshape(new_shape)
+    sax = axis + 1
+    prefix = cumfn(seg, axis=sax)
+    suffix = jnp.flip(cumfn(jnp.flip(seg, axis=sax), axis=sax), axis=sax)
+    prefix = prefix.reshape(x.shape)
+    suffix = suffix.reshape(x.shape)
+    s = jax.lax.slice_in_dim(suffix, 0, n, axis=axis)
+    p = jax.lax.slice_in_dim(prefix, ksz - 1, ksz - 1 + n, axis=axis)
+    return fn(s, p)
+
+
+def _morph(img, radius: int, mode: int):
+    fn = jnp.minimum if mode == 0 else jnp.maximum
+    cumfn = jax.lax.cummin if mode == 0 else jax.lax.cummax
+    x = jnp.asarray(img)
+    pad = [(0, 0)] * (x.ndim - 2) + [(radius, radius), (radius, radius)]
+    x = jnp.pad(x, pad, mode=pad_mode(REPLICATE))
+    axis_fn = (
+        _shift_reduce_axis
+        if radius < _VANHERK_MIN_RADIUS
+        else functools.partial(_van_herk_axis, cumfn=cumfn)
+    )
+    x = axis_fn(x, radius, x.ndim - 1, fn)
+    return axis_fn(x, radius, x.ndim - 2, fn)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def erode(img, radius: int):
+    """Min over a (2r+1)² square SE, replicate border (mode 0)."""
+    return _morph(img, radius, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def dilate(img, radius: int):
+    """Max over a (2r+1)² square SE, replicate border (mode 1)."""
+    return _morph(img, radius, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def morph_open(img, radius: int):
+    return dilate(erode(img, radius), radius)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def morph_close(img, radius: int):
+    return erode(dilate(img, radius), radius)
