@@ -5,15 +5,17 @@ gCalcHeTable (:72-124, Blelloch CDF + rint LUT), gMapping (:127-136), and the
 CLAHE chain gCalcTileHistsUnroll → gClipLimit → gCreateTable →
 gInterpolateMappingUnroll (:208-510) driven by Claher::run (clahe.cpp:26-104).
 
-TPU design divergences (SURVEY.md §2.2 "no atomics on TPU"):
-- histograms are computed as vectorized compare-reductions (or the Pallas
-  tile-bincount kernel), not atomic scatter-adds;
+TPU design divergences (SURVEY.md §2.2 "no atomics on TPU", §7 hard parts):
+- histograms and LUT applications use MXU one-hot nibble contractions
+  (kernels/onehot.py) — measured ~100x faster than XLA's gather lowering;
 - clip/redistribute's serial residual loop (`hist[(i<<8)/residual] += 1`,
   image_process.cu:266) becomes a closed-form per-bin count;
-- LUT application is a 256-entry take / one-hot contraction instead of a
-  per-pixel global-memory gather.
+- the bilinear 4-LUT interpolation is decomposed into the ≤ xtiles·ytiles
+  static rectangular regions on which the 4 corner LUTs are constant (the
+  trunc'd tile coordinates ty1/tx1 depend only on y resp. x), so each region
+  is 4 shared-one-hot table evaluations — no per-pixel gather at all.
 All rounding matches the CUDA ops: `__float2int_rn` → jnp.rint (half-to-even),
-float→u8 assignment → truncation.
+`__float2int_rz` → trunc, float→u8 assignment → truncation.
 """
 
 from __future__ import annotations
@@ -22,46 +24,44 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpuimg.core.layout import cdiv
+from tpuimg.kernels.onehot import hist256, hist256_tiled, lut_apply, lut_apply4
 
 
 def bincount256(x, axis=None):
-    """256-bin histogram(s) of a uint8/int array by compare-reduction.
+    """256-bin histogram(s) of a uint8 array.
 
-    ``x`` may have leading batch/tile dims; the reduction runs over ``axis``
-    (default: all dims). Returns int32 counts with bins as the last dim.
+    axis=None reduces everything; otherwise ``x`` is reduced over all but the
+    leading dims and bins land in the last dim.
     """
-    x = x.astype(jnp.int32)
-    bins = jnp.arange(256, dtype=jnp.int32)
-    onehot = (x[..., None] == bins)
     if axis is None:
-        axes = tuple(range(x.ndim))
-    else:
-        axes = axis if isinstance(axis, tuple) else (axis,)
-    return jnp.sum(onehot, axis=axes, dtype=jnp.int32)
+        return hist256(x)
+    return hist256_tiled(x.reshape(x.shape[0], -1))
 
 
 def apply_lut(table, img):
     """dst = table[img] (gMapping, image_process.cu:127-136)."""
-    return jnp.take(table, img.astype(jnp.int32), axis=0)
+    return lut_apply(table, img)
 
 
 @functools.partial(jax.jit, static_argnames=("impl",))
 def hist_equalize(img, impl: str = "xla"):
     """Global HE of a uint8 image: table[v] = rint(min(255, cdf[v]*256/N))
-    (gCalcHeTable, image_process.cu:115-123; factor hist_equalization.cpp:58)."""
-    img = jnp.asarray(img, jnp.uint8)
-    if impl == "pallas":
-        from tpuimg.kernels.hist import bincount256_pallas
+    (gCalcHeTable, image_process.cu:115-123; factor hist_equalization.cpp:58).
 
-        hist = bincount256_pallas(img.reshape(1, *img.shape[-2:]))[0]
-    else:
-        hist = bincount256(img)
+    Note: the reference kernel undercounts the last x-block of each row band
+    (in-loop ``return`` before the smem flush, image_process.cu:54-58); we
+    implement the intended algorithm (matches cv::equalizeHist within 2 gray
+    levels; see .claude/skills/verify/SKILL.md).
+    """
+    img = jnp.asarray(img, jnp.uint8)
+    hist = hist256(img)
     cdf = jnp.cumsum(hist).astype(jnp.float32)
     factor = jnp.float32(256.0 / img.size)
     table = jnp.rint(jnp.minimum(jnp.float32(255.0), cdf * factor)).astype(jnp.uint8)
-    return apply_lut(table, img)
+    return lut_apply(table, img)
 
 
 # ---------------------------------------------------------------------------
@@ -95,12 +95,35 @@ def _clip_redistribute(hists, limit: int):
     return clipped + bonus + extra
 
 
+def _tile_coord_runs(n: int, tiles: int, tsize: int, pad: int, use_recip: bool):
+    """Static per-axis region decomposition of the interpolation coordinates.
+
+    Replicates the device f32 math exactly (y: __fdiv_rn, x: __frcp_rn +
+    __fmul_rn, trunc via __float2int_rz — image_process.cu:437,456) in NumPy
+    f32 at trace time, then returns runs of constant truncated tile index:
+    [(start, stop, t1, t2), ...].
+    """
+    idx = np.arange(n, dtype=np.float32)
+    if use_recip:
+        tf = (idx + np.float32(pad)) * (np.float32(1.0) / np.float32(tsize)) - np.float32(0.5)
+    else:
+        tf = (idx + np.float32(pad)) / np.float32(tsize) - np.float32(0.5)
+    t1 = np.trunc(tf).astype(np.int32)
+    t2 = np.minimum(t1 + 1, tiles - 1)
+    bounds = [0] + list(np.flatnonzero(np.diff(t1)) + 1) + [n]
+    return [
+        (int(s), int(e), int(t1[s]), int(t2[s]), tf[s:e] - t1[s:e])
+        for s, e in zip(bounds[:-1], bounds[1:])
+    ]
+
+
 @functools.partial(
     jax.jit, static_argnames=("clip_limit", "xtiles", "ytiles", "impl")
 )
-def clahe(img, clip_limit: float = 40.0, xtiles: int = 8, ytiles: int = 8,
+def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
           impl: str = "xla"):
-    """CLAHE of a uint8 (H, W) image, matching Claher::run exactly."""
+    """CLAHE of a uint8 (H, W) image, matching Claher::run exactly
+    (defaults from the demo, Histogram/main.cpp:80-82)."""
     img = jnp.asarray(img, jnp.uint8)
     h, w = img.shape[-2], img.shape[-1]
     tw, th = cdiv(w, xtiles), cdiv(h, ytiles)
@@ -112,13 +135,7 @@ def clahe(img, clip_limit: float = 40.0, xtiles: int = 8, ytiles: int = 8,
     xs = _reflect101(jnp.arange(tw * xtiles) - pad_left, w)
     ext = img[..., ys, :][..., :, xs]
     tiles = ext.reshape(ytiles, th, xtiles, tw).transpose(0, 2, 1, 3)
-    flat = tiles.reshape(ytiles * xtiles, th * tw)
-    if impl == "pallas":
-        from tpuimg.kernels.hist import bincount256_pallas
-
-        hists = bincount256_pallas(tiles.reshape(ytiles * xtiles, th, tw))
-    else:
-        hists = bincount256(flat, axis=1)
+    hists = hist256_tiled(tiles.reshape(ytiles * xtiles, th, tw))
 
     # --- clip limit (clahe.cpp:87) + redistribute ---
     limit = int(tw * th * clip_limit / 256 + 0.5)
@@ -128,27 +145,29 @@ def clahe(img, clip_limit: float = 40.0, xtiles: int = 8, ytiles: int = 8,
     fr = jnp.float32(255.0 / (tw * th))
     tables = jnp.cumsum(hists, axis=-1).astype(jnp.float32) * fr  # (T, 256)
 
-    # --- bilinear 4-LUT interpolation (gInterpolateMappingUnroll :428-471) ---
-    iy = jnp.arange(h, dtype=jnp.float32)[:, None]
-    ix = jnp.arange(w, dtype=jnp.float32)[None, :]
-    tyf = (iy + pad_top) / jnp.float32(th) - 0.5
-    txf = (ix + pad_left) * jnp.float32(1.0 / tw) - 0.5
-    ty1 = tyf.astype(jnp.int32)  # __float2int_rz: trunc toward zero
-    tx1 = txf.astype(jnp.int32)
-    ty2 = jnp.minimum(ty1 + 1, ytiles - 1)
-    tx2 = jnp.minimum(tx1 + 1, xtiles - 1)
-    ya = tyf - ty1
-    xa = txf - tx1
-    ya1 = 1.0 - ya
-    xa1 = 1.0 - xa
+    # --- bilinear 4-LUT interpolation, region-decomposed ---
+    yruns = _tile_coord_runs(h, ytiles, th, pad_top, use_recip=False)
+    xruns = _tile_coord_runs(w, xtiles, tw, pad_left, use_recip=True)
 
-    v = img.astype(jnp.int32)
-    tflat = tables.reshape(-1)
-    gather = lambda t_idx: jnp.take(tflat, (t_idx << 8) + v)
-    t11 = gather(ty1 * xtiles + tx1)
-    t12 = gather(ty1 * xtiles + tx2)
-    t21 = gather(ty2 * xtiles + tx1)
-    t22 = gather(ty2 * xtiles + tx2)
-    out = (t11 * xa1 + t12 * xa) * ya1 + (t21 * xa1 + t22 * xa) * ya
+    bands = []
+    for y0, y1, ty1, ty2, ya_np in yruns:
+        ya = jnp.asarray(ya_np, jnp.float32)[:, None]
+        ya1 = jnp.float32(1.0) - ya
+        row_chunks = []
+        for x0, x1, tx1, tx2, xa_np in xruns:
+            xa = jnp.asarray(xa_np, jnp.float32)[None, :]
+            xa1 = jnp.float32(1.0) - xa
+            v = img[y0:y1, x0:x1]
+            t11, t12, t21, t22 = lut_apply4(
+                tables[ty1 * xtiles + tx1],
+                tables[ty1 * xtiles + tx2],
+                tables[ty2 * xtiles + tx1],
+                tables[ty2 * xtiles + tx2],
+                v,
+            )
+            out = (t11 * xa1 + t12 * xa) * ya1 + (t21 * xa1 + t22 * xa) * ya
+            row_chunks.append(out)
+        bands.append(jnp.concatenate(row_chunks, axis=-1))
+    out = jnp.concatenate(bands, axis=-2)
     # float → uchar assignment truncates (with clamp) on the device
     return jnp.clip(jnp.trunc(out), 0.0, 255.0).astype(jnp.uint8)
