@@ -1,0 +1,55 @@
+"""Pallas kernel parity (interpreter mode on the CPU backend — SURVEY.md §5
+"keep interpret-mode Pallas tests")."""
+
+import numpy as np
+import pytest
+
+from tpuimg import dilate, erode, gaussian, guided_filter, integral
+from tpuimg.oracle import (
+    dilate_ref,
+    erode_ref,
+    gaussian_ref,
+    guided_filter_ref,
+    integral_ref,
+)
+
+
+@pytest.mark.parametrize("shape", [(64, 128), (300, 700), (33, 1111)])
+def test_integral_pallas_exact(rng, shape):
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = np.asarray(integral(img, impl="pallas"))
+    np.testing.assert_array_equal(out, integral_ref(img))
+
+
+@pytest.mark.parametrize("radius,sigma", [(1, 1.0), (3, 2.0), (7, 3.0)])
+def test_gaussian_pallas(rng, radius, sigma):
+    img = rng.random((100, 300), dtype=np.float32)
+    out = np.asarray(gaussian(img, radius, sigma, impl="pallas"))
+    assert np.abs(out - gaussian_ref(img, radius, sigma)).max() < 1e-5
+
+
+@pytest.mark.parametrize("radius", [1, 2, 6])
+def test_morph_pallas_exact(rng, radius):
+    img = rng.integers(0, 256, (75, 183), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(erode(img, radius, impl="pallas")), erode_ref(img, radius)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dilate(img, radius, impl="pallas")), dilate_ref(img, radius)
+    )
+
+
+@pytest.mark.parametrize("radius,eps", [(1, 0.3), (8, 1e-3)])
+def test_guided_pallas(rng, radius, eps):
+    I = rng.random((64, 200), dtype=np.float32)
+    p = np.clip(I + 0.1 * rng.standard_normal(I.shape), 0, 1).astype(np.float32)
+    out = np.asarray(guided_filter(I, p, radius, eps, impl="pallas"))
+    ref = guided_filter_ref(I, p, radius, eps, border="reflect101")
+    assert np.abs(out - ref).max() < 1e-3
+
+
+def test_gaussian_pallas_batched(rng):
+    imgs = rng.random((2, 64, 96), dtype=np.float32)
+    out = np.asarray(gaussian(imgs, 2, 1.5, impl="pallas"))
+    for i in range(2):
+        assert np.abs(out[i] - gaussian_ref(imgs[i], 2, 1.5)).max() < 1e-5

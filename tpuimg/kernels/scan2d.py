@@ -1,0 +1,89 @@
+"""Pallas 2D prefix-scan (integral image), uint8 → int32.
+
+Reference: Integral/integral_d.cu — 4-kernel hierarchical carry pipeline
+(in-tile scans :13-59, Blelloch scans of tile carries :220-284/:504-593,
+carry broadcast :716-749, driver hIntegral :863-893), needed because CUDA
+thread blocks can't see each other's results within a launch.
+
+TPU redesign: a Pallas grid on one core executes *sequentially*, so the carry
+hierarchy collapses into two bandwidth-optimal passes:
+
+- pass 1 (rows): independent row bands; in-VMEM cumsum along lanes.
+- pass 2 (cols): grid (col-strips × row-bands) with the row-band dimension
+  minor/sequential; a (1, strip) VMEM scratch carries the running column sum
+  across bands (reset when a new col-strip starts). This is the reference's
+  "scan of tile carries" at band radix, with zero extra HBM traffic.
+
+Total HBM traffic ≈ read u8 + write i32 + read i32 + write i32 — the
+speed-of-light for a 2-pass scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuimg.core.layout import cdiv, pad_to_multiple
+from tpuimg.kernels import interpret_mode
+
+_ROW_BAND = 32   # u8 native sublane tiling
+_COL_BAND = 256  # pass-2 rows per step
+_COL_STRIP = 512  # pass-2 lanes per block
+
+
+def _row_scan_kernel(x_ref, o_ref):
+    o_ref[:] = jnp.cumsum(x_ref[:].astype(jnp.int32), axis=1, dtype=jnp.int32)
+
+
+def _col_scan_kernel(x_ref, o_ref, carry):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    s = jnp.cumsum(x_ref[:], axis=0, dtype=jnp.int32) + carry[:]
+    o_ref[:] = s
+    carry[:] = s[-1:, :]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def integral_pallas(img):
+    """Inclusive 2D prefix sum of a (H, W) uint8/int image, int32."""
+    if img.ndim != 2:
+        return jax.vmap(integral_pallas)(img)
+    x, (h, w) = pad_to_multiple(jnp.asarray(img), _ROW_BAND, _COL_STRIP, mode="constant")
+    hp, wp = x.shape
+
+    rows = pl.pallas_call(
+        _row_scan_kernel,
+        grid=(hp // _ROW_BAND,),
+        in_specs=[
+            pl.BlockSpec((_ROW_BAND, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (_ROW_BAND, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        interpret=interpret_mode(),
+    )(x)
+
+    band = min(_COL_BAND, hp)
+    out = pl.pallas_call(
+        _col_scan_kernel,
+        grid=(wp // _COL_STRIP, cdiv(hp, band)),
+        in_specs=[
+            pl.BlockSpec((band, _COL_STRIP), lambda i, j: (j, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (band, _COL_STRIP), lambda i, j: (j, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, _COL_STRIP), jnp.int32)],
+        interpret=interpret_mode(),
+    )(rows)
+    return out[:h, :w]

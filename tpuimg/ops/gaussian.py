@@ -40,6 +40,17 @@ def _sep_pass(img, weights, axis: int):
     return acc
 
 
+def gaussian_ypadded(p, radius: int, sigma: float):
+    """Gaussian blur of a block already padded by ``radius`` rows on the row
+    axis (halo rows from a neighbor shard or border policy); x is padded
+    locally. Used by parallel.stencil_sharded."""
+    w = [float(v) for v in np.asarray(gaussian_kernel_1d(2 * radius + 1, sigma))]
+    pad = [(0, 0)] * (p.ndim - 1) + [(radius, radius)]
+    p = jnp.pad(p, pad, mode=pad_mode(REFLECT101))
+    rows = _sep_pass(p, w, axis=p.ndim - 1)
+    return _sep_pass(rows, w, axis=p.ndim - 2)
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "sigma", "impl"))
 def gaussian(img, radius: int, sigma: float, impl: str = "xla"):
     """Gaussian blur of a float32 image (..., H, W), reflect-101 border.

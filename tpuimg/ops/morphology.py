@@ -66,7 +66,11 @@ def _van_herk_axis(x, radius: int, axis: int, fn, cumfn):
     return fn(s, p)
 
 
-def _morph(img, radius: int, mode: int):
+def _morph(img, radius: int, mode: int, impl: str = "xla"):
+    if impl == "pallas":
+        from tpuimg.kernels.sep_stencil import morphology_pallas
+
+        return morphology_pallas(img, radius, mode)
     fn = jnp.minimum if mode == 0 else jnp.maximum
     cumfn = jax.lax.cummin if mode == 0 else jax.lax.cummax
     x = jnp.asarray(img)
@@ -81,16 +85,32 @@ def _morph(img, radius: int, mode: int):
     return axis_fn(x, radius, x.ndim - 2, fn)
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def erode(img, radius: int):
+def morph_ypadded(p, radius: int, mode: int):
+    """Erode/dilate a block already padded by ``radius`` rows on the row axis
+    (halo rows); x is padded locally. Used by parallel.stencil_sharded."""
+    fn = jnp.minimum if mode == 0 else jnp.maximum
+    cumfn = jax.lax.cummin if mode == 0 else jax.lax.cummax
+    pad = [(0, 0)] * (p.ndim - 1) + [(radius, radius)]
+    p = jnp.pad(p, pad, mode=pad_mode(REPLICATE))
+    axis_fn = (
+        _shift_reduce_axis
+        if radius < _VANHERK_MIN_RADIUS
+        else functools.partial(_van_herk_axis, cumfn=cumfn)
+    )
+    p = axis_fn(p, radius, p.ndim - 1, fn)
+    return axis_fn(p, radius, p.ndim - 2, fn)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "impl"))
+def erode(img, radius: int, impl: str = "xla"):
     """Min over a (2r+1)² square SE, replicate border (mode 0)."""
-    return _morph(img, radius, 0)
+    return _morph(img, radius, 0, impl)
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def dilate(img, radius: int):
+@functools.partial(jax.jit, static_argnames=("radius", "impl"))
+def dilate(img, radius: int, impl: str = "xla"):
     """Max over a (2r+1)² square SE, replicate border (mode 1)."""
-    return _morph(img, radius, 1)
+    return _morph(img, radius, 1, impl)
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
