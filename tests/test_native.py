@@ -1,0 +1,57 @@
+"""Native loader (C++ PNG/JPEG decode + streaming prefetcher) tests."""
+
+import numpy as np
+import pytest
+
+from tpuimg import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+def test_png_roundtrip(rng, tmp_path):
+    img = rng.integers(0, 256, (64, 96), dtype=np.uint8)
+    p = str(tmp_path / "t.png")
+    native.write_png(p, img)
+    np.testing.assert_array_equal(native.read_image(p, gray=True), img)
+
+
+def test_rgb_roundtrip(rng, tmp_path):
+    img = rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+    p = str(tmp_path / "t.png")
+    native.write_png(p, img)
+    np.testing.assert_array_equal(native.read_image(p, gray=False), img)
+
+
+def test_png_decode_matches_opencv(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    path = "/root/reference/Histogram/data/sample_L.png"
+    ours = native.read_image(path, gray=True)
+    ref = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_stream_delivers_all_frames(rng, tmp_path):
+    imgs = [rng.integers(0, 256, (32, 48), dtype=np.uint8) for _ in range(5)]
+    paths = []
+    for i, im in enumerate(imgs):
+        p = str(tmp_path / f"f{i}.png")
+        native.write_png(p, im)
+        paths.append(p)
+    seen = {}
+    with native.FrameStream(paths, (32, 48), gray=True, threads=3,
+                            capacity=2) as fs:
+        for idx, frame in fs:
+            seen[idx] = frame.copy()
+    assert sorted(seen) == list(range(5))
+    for i, im in enumerate(imgs):
+        np.testing.assert_array_equal(seen[i], im)
+
+
+def test_stream_resizes_to_slot(rng, tmp_path):
+    img = rng.integers(0, 256, (64, 96), dtype=np.uint8)
+    p = str(tmp_path / "t.png")
+    native.write_png(p, img)
+    with native.FrameStream([p], (32, 48), gray=True) as fs:
+        frames = list(fs)
+    assert frames[0][1].shape == (32, 48)

@@ -1,0 +1,334 @@
+"""Demo / benchmark CLI — the TPU analog of the reference's L3 layer.
+
+Each subcommand mirrors one reference demo executable (SURVEY.md §3 call
+stacks): load or synthesize an image, run the op (XLA and Pallas variants),
+verify by max-abs-diff against the NumPy oracle, time with the nrepeats
+discipline, and write result PNGs.
+
+    python -m tpuimg gaussian 3840 2160 1 1.0 100 [src.png]
+    python -m tpuimg integral [--width 3840 --height 2160 --nreps 100]
+    python -m tpuimg integral-autotest [--runs 20]
+    python -m tpuimg he image.png
+    python -m tpuimg clahe image.png [--clip 1.0 --xtiles 8 --ytiles 8]
+    python -m tpuimg guided [--radius 4 --eps 0.3 --nreps 100] [--src ...]
+    python -m tpuimg morphology [--radius 5 --mode 0 --nreps 100] [--src ...]
+    python -m tpuimg sweep {gaussian,guided,morphology} [--radii 1-7]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _maxdiff(a, b):
+    return float(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)).max())
+
+
+def _time(fn, arg, nreps, pixels):
+    from tpuimg.core.timing import time_scan_fn
+
+    return time_scan_fn(fn, arg, iters=max(2, nreps), pixels=pixels)
+
+
+def _report(name, ms, gpix, diff, tol):
+    status = "OK" if diff <= tol else "FAIL"
+    print(f"{name:28s} {ms:9.3f} ms  {gpix:8.2f} GPix/s  maxdiff={diff:g} [{status}]")
+    return diff <= tol
+
+
+def _load_or_random(path, w, h, dtype):
+    from tpuimg.utils import imread_gray
+
+    if path:
+        img = imread_gray(path)
+        if dtype == np.float32:
+            img = img.astype(np.float32) / 255.0
+        return img
+    rng = np.random.default_rng(0)
+    if dtype == np.float32:
+        return rng.random((h, w), dtype=np.float32)
+    return rng.integers(0, 256, (h, w), dtype=np.uint8)
+
+
+def _out_path(base, tag):
+    root, _ = os.path.splitext(base or "demo.png")
+    return f"{root}_{tag}.png"
+
+
+def cmd_gaussian(args):
+    import jax.numpy as jnp
+
+    import tpuimg
+    from tpuimg.oracle import gaussian_ref
+    from tpuimg.utils import imwrite
+
+    img = _load_or_random(args.src, args.width, args.height, np.float32)
+    h, w = img.shape
+    ref = gaussian_ref(img, args.radius, args.sigma)
+    x = jnp.asarray(img)
+    ok = True
+    for impl in ("xla", "pallas"):
+        fn = lambda v: tpuimg.gaussian(v, args.radius, args.sigma, impl=impl)
+        out = np.asarray(fn(x))
+        r = _time(fn, x, args.nreps, h * w)
+        ok &= _report(f"gaussian[{impl}] r={args.radius}", r.ms, r.gpix_s,
+                      _maxdiff(out, ref), 1e-4)
+        if args.src:
+            imwrite(_out_path(args.src, f"gauss_{impl}"),
+                    np.clip(out * 255, 0, 255).astype(np.uint8))
+    return ok
+
+
+def cmd_integral(args):
+    import jax.numpy as jnp
+
+    import tpuimg
+    from tpuimg.oracle import integral_ref
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (args.height, args.width), dtype=np.uint8)
+    ref = integral_ref(img)
+    x = jnp.asarray(img)
+    ok = True
+    for impl in ("xla", "pallas"):
+        fn = lambda v: tpuimg.integral(v, impl=impl)
+        out = np.asarray(fn(x))
+        r = _time(fn, x, args.nreps, img.size)
+        ok &= _report(f"integral[{impl}]", r.ms, r.gpix_s, _maxdiff(out, ref), 0)
+    return ok
+
+
+def cmd_integral_autotest(args):
+    """Randomized-shape property test (reference autoTestDemo,
+    Integral/main.cpp:154-237), appending to res.log."""
+    import tpuimg
+    from tpuimg.oracle import integral_ref
+
+    rng = np.random.default_rng(args.seed)
+    failures = 0
+    with open("res.log", "a") as log:
+        for i in range(args.runs):
+            h = int(rng.integers(64, args.max_size))
+            w = int(rng.integers(64, args.max_size))
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            diff = _maxdiff(tpuimg.integral(img, impl=args.impl), integral_ref(img))
+            line = f"Size: {w} x {h}, Max difference of tpuimg and oracle: {diff:g}"
+            print(line)
+            log.write(line + "\n")
+            failures += diff != 0
+    print(f"{args.runs - failures}/{args.runs} exact")
+    return failures == 0
+
+
+def cmd_he(args):
+    import tpuimg
+    from tpuimg.oracle import hist_equalize_ref
+    from tpuimg.utils import imread_gray, imwrite
+
+    img = imread_gray(args.image)
+    out = np.asarray(tpuimg.hist_equalize(img))
+    diff = _maxdiff(out, hist_equalize_ref(img))
+    r = _time(tpuimg.hist_equalize, img, args.nreps, img.size)
+    ok = _report("hist_equalize", r.ms, r.gpix_s, diff, 0)
+    imwrite(_out_path(args.image, "tpuhe"), out)
+    return ok
+
+
+def cmd_clahe(args):
+    import jax.numpy as jnp
+
+    import tpuimg
+    from tpuimg.oracle import clahe_ref
+    from tpuimg.utils import imread_gray, imread_rgb, imwrite
+
+    try:
+        rgb = imread_rgb(args.image)
+        color = rgb.ndim == 3
+    except Exception:
+        color = False
+    if color:
+        # reference claheDemo: BGR→Lab, CLAHE on L, merge back — but here the
+        # whole chain runs on device (ops/color.py)
+        from tpuimg.ops.color import lab_to_rgb, rgb_to_lab
+
+        lab = rgb_to_lab(jnp.asarray(rgb))
+        L = lab[..., 0]
+        Leq = tpuimg.clahe(L, args.clip, args.xtiles, args.ytiles)
+        out_rgb = np.asarray(lab_to_rgb(jnp.stack(
+            [Leq, lab[..., 1], lab[..., 2]], axis=-1)))
+        imwrite(_out_path(args.image, "tpuclahe"), out_rgb)
+        L_np = np.asarray(L)
+    else:
+        L_np = imread_gray(args.image)
+        out = np.asarray(tpuimg.clahe(L_np, args.clip, args.xtiles, args.ytiles))
+        imwrite(_out_path(args.image, "tpuclahe"), out)
+
+    ref = clahe_ref(L_np, args.clip, args.xtiles, args.ytiles)
+    got = np.asarray(tpuimg.clahe(L_np, args.clip, args.xtiles, args.ytiles))
+    fn = lambda v: tpuimg.clahe(v, args.clip, args.xtiles, args.ytiles)
+    r = _time(fn, jnp.asarray(L_np), args.nreps, L_np.size)
+    return _report("clahe", r.ms, r.gpix_s, _maxdiff(got, ref), 1)
+
+
+def cmd_guided(args):
+    import jax.numpy as jnp
+
+    import tpuimg
+    from tpuimg.oracle import guided_filter_ref
+    from tpuimg.utils import imwrite
+
+    src = _load_or_random(args.src, args.width, args.height, np.float32)
+    guide = _load_or_random(args.guide or args.src, args.width, args.height,
+                            np.float32)
+    ref = guided_filter_ref(guide, src, args.radius, args.eps,
+                            border="reflect101")
+    I, p = jnp.asarray(guide), jnp.asarray(src)
+    ok = True
+    for impl in ("xla", "pallas"):
+        border = "reflect101"
+        out = np.asarray(tpuimg.guided_filter(I, p, args.radius, args.eps,
+                                              border=border, impl=impl))
+        fn = lambda v: tpuimg.guided_filter(v, p, args.radius, args.eps,
+                                            border=border, impl=impl)
+        r = _time(fn, I, args.nreps, src.size)
+        ok &= _report(f"guided[{impl}] r={args.radius}", r.ms, r.gpix_s,
+                      _maxdiff(out, ref), 1e-3)
+        if args.src:
+            imwrite(_out_path(args.src, f"guided_{impl}"),
+                    np.clip(out * 255, 0, 255).astype(np.uint8))
+    return ok
+
+
+def cmd_morphology(args):
+    import jax.numpy as jnp
+
+    import tpuimg
+    from tpuimg.oracle import dilate_ref, erode_ref
+    from tpuimg.utils import imwrite
+
+    img = _load_or_random(args.src, args.width, args.height, np.uint8)
+    op = tpuimg.erode if args.mode == 0 else tpuimg.dilate
+    ref = (erode_ref if args.mode == 0 else dilate_ref)(img, args.radius)
+    x = jnp.asarray(img)
+    ok = True
+    impls = ("xla", "pallas") if args.radius <= 6 else ("xla",)
+    for impl in impls:
+        fn = lambda v: op(v, args.radius, impl=impl)
+        out = np.asarray(fn(x))
+        r = _time(fn, x, args.nreps, img.size)
+        ok &= _report(f"morph[{impl}] r={args.radius} mode={args.mode}",
+                      r.ms, r.gpix_s, _maxdiff(out, ref), 0)
+        if args.src:
+            imwrite(_out_path(args.src, f"morph_{impl}_{args.mode}"), out)
+    return ok
+
+
+def cmd_sweep(args):
+    """Parameter sweeps (reference GuidedFilter/run.py, Morphology/
+    plot_time.py protocols); writes JSON results."""
+    import jax.numpy as jnp
+
+    import tpuimg
+
+    parts = args.radii.split("-")
+    lo, hi = (int(parts[0]), int(parts[-1]))
+    rng = np.random.default_rng(0)
+    img_f = jnp.asarray(rng.random((args.height, args.width), dtype=np.float32))
+    img_u = jnp.asarray(rng.integers(0, 256, (args.height, args.width),
+                                     dtype=np.uint8))
+    results = []
+    for r in range(lo, hi + 1):
+        if args.op == "gaussian":
+            fn, arg = (lambda v, r=r: tpuimg.gaussian(v, r, 1.0)), img_f
+        elif args.op == "guided":
+            fn, arg = (lambda v, r=r: tpuimg.guided_filter(v, v, r, 0.3)), img_f
+        else:
+            fn, arg = (lambda v, r=r: tpuimg.erode(v, r)), img_u
+        t = _time(fn, arg, args.nreps, args.width * args.height)
+        results.append({"radius": r, "ms": t.ms, "gpix_s": t.gpix_s})
+        print(f"radius {r:2d}: {t.ms:9.3f} ms  {t.gpix_s:8.2f} GPix/s")
+    out = f"sweep_{args.op}.json"
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out}")
+    return True
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpuimg", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gaussian")
+    g.add_argument("width", type=int, nargs="?", default=3840)
+    g.add_argument("height", type=int, nargs="?", default=2160)
+    g.add_argument("radius", type=int, nargs="?", default=1)
+    g.add_argument("sigma", type=float, nargs="?", default=1.0)
+    g.add_argument("nreps", type=int, nargs="?", default=20)
+    g.add_argument("src", nargs="?", default=None)
+    g.set_defaults(fn=cmd_gaussian)
+
+    i = sub.add_parser("integral")
+    i.add_argument("--width", type=int, default=3840)
+    i.add_argument("--height", type=int, default=2160)
+    i.add_argument("--nreps", type=int, default=20)
+    i.set_defaults(fn=cmd_integral)
+
+    a = sub.add_parser("integral-autotest")
+    a.add_argument("--runs", type=int, default=10)
+    a.add_argument("--max-size", type=int, default=2000)
+    a.add_argument("--seed", type=int, default=0)
+    a.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
+    a.set_defaults(fn=cmd_integral_autotest)
+
+    e = sub.add_parser("he")
+    e.add_argument("image")
+    e.add_argument("--nreps", type=int, default=20)
+    e.set_defaults(fn=cmd_he)
+
+    c = sub.add_parser("clahe")
+    c.add_argument("image")
+    c.add_argument("--clip", type=float, default=1.0)
+    c.add_argument("--xtiles", type=int, default=8)
+    c.add_argument("--ytiles", type=int, default=8)
+    c.add_argument("--nreps", type=int, default=20)
+    c.set_defaults(fn=cmd_clahe)
+
+    u = sub.add_parser("guided")
+    u.add_argument("--radius", type=int, default=4)
+    u.add_argument("--eps", type=float, default=0.3)
+    u.add_argument("--nreps", type=int, default=20)
+    u.add_argument("--width", type=int, default=3840)
+    u.add_argument("--height", type=int, default=2160)
+    u.add_argument("--src", default=None)
+    u.add_argument("--guide", default=None)
+    u.set_defaults(fn=cmd_guided)
+
+    m = sub.add_parser("morphology")
+    m.add_argument("--radius", type=int, default=5)
+    m.add_argument("--mode", type=int, default=0, choices=[0, 1])
+    m.add_argument("--nreps", type=int, default=20)
+    m.add_argument("--width", type=int, default=3840)
+    m.add_argument("--height", type=int, default=2160)
+    m.add_argument("--src", default=None)
+    m.set_defaults(fn=cmd_morphology)
+
+    s = sub.add_parser("sweep")
+    s.add_argument("op", choices=["gaussian", "guided", "morphology"])
+    s.add_argument("--radii", default="1-7")
+    s.add_argument("--nreps", type=int, default=20)
+    s.add_argument("--width", type=int, default=3840)
+    s.add_argument("--height", type=int, default=2160)
+    s.set_defaults(fn=cmd_sweep)
+
+    args = p.parse_args(argv)
+    ok = args.fn(args)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
