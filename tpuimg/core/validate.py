@@ -1,0 +1,55 @@
+"""Typed parameter/shape validation.
+
+The reference fails hard at runtime via CHECK/exit(-1) on CUDA errors
+(Histogram/cuda_utils.h:7-36) and silently misbehaves on bad geometry; the
+TPU build raises typed Python exceptions at trace time instead (SURVEY.md §5
+"failure detection"). All checks run on static shape/dtype info, so they are
+free under jit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+class TpuImgError(ValueError):
+    """Base class for tpuimg validation errors."""
+
+
+class ShapeError(TpuImgError):
+    pass
+
+
+class DTypeError(TpuImgError):
+    pass
+
+
+class ParamError(TpuImgError):
+    pass
+
+
+def check_image(x, name: str = "img", min_ndim: int = 2, dtypes=None):
+    if x.ndim < min_ndim:
+        raise ShapeError(
+            f"{name} must have at least {min_ndim} dims (..., H, W); "
+            f"got shape {tuple(x.shape)}"
+        )
+    h, w = x.shape[-2], x.shape[-1]
+    if h < 1 or w < 1:
+        raise ShapeError(f"{name} has empty spatial dims: {tuple(x.shape)}")
+    if dtypes is not None and not any(x.dtype == jnp.dtype(d) for d in dtypes):
+        raise DTypeError(
+            f"{name} dtype must be one of {[str(jnp.dtype(d)) for d in dtypes]}, "
+            f"got {x.dtype}"
+        )
+    return h, w
+
+
+def check_radius(radius: int, lo: int = 1, name: str = "radius"):
+    if not isinstance(radius, int) or radius < lo:
+        raise ParamError(f"{name} must be an int >= {lo}, got {radius!r}")
+
+
+def check_positive(value, name: str):
+    if value <= 0:
+        raise ParamError(f"{name} must be positive, got {value!r}")

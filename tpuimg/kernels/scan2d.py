@@ -35,8 +35,25 @@ _COL_BAND = 256  # pass-2 rows per step
 _COL_STRIP = 512  # pass-2 lanes per block
 
 
+def _scan_shift(x, axis: int):
+    """Inclusive prefix sum along ``axis`` via log2(n) masked roll-adds.
+
+    Mosaic has no cumsum primitive; this is the classic Hillis-Steele scan on
+    the VPU — ``pltpu.roll`` is a cheap lane/sublane rotation, and the mask
+    zeroes the wrapped elements.
+    """
+    n = x.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    shift = 1
+    while shift < n:
+        rolled = pltpu.roll(x, shift, axis=axis)
+        x = x + jnp.where(idx >= shift, rolled, 0)
+        shift *= 2
+    return x
+
+
 def _row_scan_kernel(x_ref, o_ref):
-    o_ref[:] = jnp.cumsum(x_ref[:].astype(jnp.int32), axis=1, dtype=jnp.int32)
+    o_ref[:] = _scan_shift(x_ref[:].astype(jnp.int32), axis=1)
 
 
 def _col_scan_kernel(x_ref, o_ref, carry):
@@ -46,7 +63,7 @@ def _col_scan_kernel(x_ref, o_ref, carry):
     def _():
         carry[:] = jnp.zeros_like(carry)
 
-    s = jnp.cumsum(x_ref[:], axis=0, dtype=jnp.int32) + carry[:]
+    s = _scan_shift(x_ref[:], axis=0) + carry[:]
     o_ref[:] = s
     carry[:] = s[-1:, :]
 

@@ -59,6 +59,9 @@ def gaussian(img, radius: int, sigma: float, impl: str = "xla"):
     """
     if radius < 1:
         raise ValueError(f"radius must be >= 1, got {radius}")
+    from tpuimg.core.validate import check_image
+
+    check_image(img, "img")
     if impl == "pallas":
         from tpuimg.kernels.sep_stencil import gaussian_pallas
 

@@ -23,6 +23,9 @@ import jax.numpy as jnp
 @functools.partial(jax.jit, static_argnames=("impl",))
 def integral(img, impl: str = "xla"):
     """Inclusive 2D prefix sum over the trailing two dims; int32 result."""
+    from tpuimg.core.validate import check_image
+
+    check_image(img, "img")
     if impl == "pallas":
         from tpuimg.kernels.scan2d import integral_pallas
 
