@@ -1,0 +1,89 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax, jax.numpy as jnp
+import tpuimg
+from tpuimg.core.timing import time_scan_fn
+from tpuimg.kernels.onehot import hist256, hist256_tiled, lut_apply
+
+log = open("opt_probe.log", "a")
+def p(s):
+    print(s, flush=True); log.write(s+"\n"); log.flush()
+
+key = jax.random.PRNGKey(0)
+img = jax.random.randint(key, (2160, 3840), 0, 256, jnp.int32).astype(jnp.uint8)
+PIX = 2160*3840
+table = jnp.arange(256, dtype=jnp.uint8)[::-1]
+
+def t(name, fn, arg=img, iters=20):
+    try:
+        r = time_scan_fn(fn, arg, iters=iters, pixels=PIX)
+        p(f"{name}: {r.ms:.3f} ms {r.gpix_s:.2f} GPix/s")
+        return r.ms
+    except Exception as e:
+        p(f"{name}: FAIL {str(e)[:120]}")
+        return None
+
+# current lut_apply (bf16 one-hot)
+t("lut bf16", lambda x: lut_apply(table, x))
+
+# int8 one-hot variant
+def lut_int8(x):
+    xi = x.astype(jnp.int32)
+    i16 = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = ((xi >> 4)[..., None] == i16).astype(jnp.int8)
+    oh_lo = ((xi & 15)[..., None] == i16).astype(jnp.int8)
+    T = (table.astype(jnp.int32) - 128).astype(jnp.int8).reshape(16, 16)
+    mid = jax.lax.dot_general(oh_hi, T, (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    val = jnp.sum(mid * oh_lo.astype(jnp.int32), axis=-1) + 128
+    return val.astype(jnp.uint8)
+out_ok = None
+try:
+    small = img[:64, :128]
+    ok = bool(jnp.all(lut_int8(small) == lut_apply(table, small)))
+    p(f"lut int8 correct: {ok}")
+except Exception as e:
+    p(f"lut int8 check FAIL {str(e)[:120]}")
+t("lut int8", lut_int8)
+
+# hist int8 variant
+def hist_int8_fb(x):
+    xi = x.reshape(-1).astype(jnp.int32)
+    i16 = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = ((xi >> 4)[:, None] == i16).astype(jnp.int8)
+    oh_lo = ((xi & 15)[:, None] == i16).astype(jnp.int8)
+    H = jax.lax.dot_general(oh_hi.T, oh_lo, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return x ^ (H.sum() & 1).astype(jnp.uint8)
+def hist_bf16_fb(x):
+    h = hist256(x)
+    return x ^ (h.sum() & 1).astype(jnp.uint8)
+t("hist bf16", hist_bf16_fb)
+t("hist int8", hist_int8_fb)
+
+# CLAHE stage breakdown
+from tpuimg.core.layout import cdiv
+from tpuimg.ops.histogram import _reflect101, _clip_redistribute
+h, w, xt, yt = 2160, 3840, 8, 8
+tw, th = cdiv(w, xt), cdiv(h, yt)
+pl_, pt = (tw*xt - w)>>1, (th*yt - h)>>1
+ys = _reflect101(jnp.arange(th*yt)-pt, h); xs = _reflect101(jnp.arange(tw*xt)-pl_, w)
+def stage_hist(x):
+    ext = x[ys, :][:, xs]
+    tiles = ext.reshape(yt, th, xt, tw).transpose(0,2,1,3)
+    hs = hist256_tiled(tiles.reshape(yt*xt, th, tw))
+    return x ^ (hs.sum() & 1).astype(jnp.uint8)
+t("clahe stage: tile hists", stage_hist)
+def stage_map(x):
+    out = tpuimg.clahe(x, 40.0, 8, 8)
+    return out
+t("clahe full", stage_map)
+p("DONE")
+
+# pallas guided/erode at 4K with fixes
+img_f = jax.random.uniform(key, (2160, 3840), jnp.float32)
+t("guided r8 pallas 4k", lambda x: tpuimg.guided_filter(x, x, 8, 1e-3, impl="pallas"), img_f)
+t("guided r4 pallas 4k", lambda x: tpuimg.guided_filter(x, x, 4, 1e-3, impl="pallas"), img_f)
+t("erode r2 pallas 4k", lambda x: tpuimg.erode(x, 2, impl="pallas"))
+t("erode r6 pallas 4k", lambda x: tpuimg.erode(x, 6, impl="pallas"))
+p("DONE2")

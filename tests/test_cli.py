@@ -1,0 +1,53 @@
+"""CLI smoke tests (tiny shapes, CPU backend)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpuimg.cli import main
+from tpuimg.utils import imwrite
+
+
+@pytest.fixture
+def gray_png(tmp_path, rng):
+    p = str(tmp_path / "g.png")
+    imwrite(p, rng.integers(0, 256, (40, 56), dtype=np.uint8))
+    return p
+
+
+def test_cli_integral(capsys):
+    assert main(["integral", "--width", "128", "--height", "64",
+                 "--nreps", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "integral[xla]" in out and "maxdiff=0" in out
+
+
+def test_cli_autotest(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    assert main(["integral-autotest", "--runs", "2", "--max-size", "200",
+                 "--impl", "xla"]) == 0
+    assert os.path.exists(tmp_path / "res.log")
+
+
+def test_cli_he(gray_png, capsys):
+    assert main(["he", gray_png, "--nreps", "2"]) == 0
+    assert os.path.exists(gray_png.replace(".png", "_tpuhe.png"))
+
+
+def test_cli_gaussian(capsys):
+    assert main(["gaussian", "96", "64", "2", "1.5", "2"]) == 0
+    assert "[OK]" in capsys.readouterr().out
+
+
+def test_cli_morphology_open(capsys):
+    assert main(["morphology", "--op", "open", "--radius", "2",
+                 "--width", "96", "--height", "64", "--nreps", "2"]) == 0
+    assert "maxdiff=0" in capsys.readouterr().out
+
+
+def test_cli_sweep(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    assert main(["sweep", "morphology", "--radii", "1-2", "--nreps", "2",
+                 "--width", "96", "--height", "64"]) == 0
+    assert os.path.exists(tmp_path / "sweep_morphology.json")

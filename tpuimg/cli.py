@@ -208,23 +208,52 @@ def cmd_morphology(args):
     import jax.numpy as jnp
 
     import tpuimg
-    from tpuimg.oracle import dilate_ref, erode_ref
+    from tpuimg.oracle import close_ref, dilate_ref, erode_ref, open_ref
     from tpuimg.utils import imwrite
 
+    ops = {
+        "erode": (tpuimg.erode, erode_ref),
+        "dilate": (tpuimg.dilate, dilate_ref),
+        "open": (lambda v, r, impl="xla": tpuimg.morph_open(v, r), open_ref),
+        "close": (lambda v, r, impl="xla": tpuimg.morph_close(v, r), close_ref),
+    }
+    name = args.op if args.op else ("erode" if args.mode == 0 else "dilate")
+    op, ref_fn = ops[name]
+
+    if args.color != "gray" and args.src:
+        # reference morphologyRGBDemo (per-channel, main.cpp:113-177) /
+        # morphologyLABDemo (L channel only, :180-242) — all on device here
+        from tpuimg.utils import imread_rgb
+
+        rgb = jnp.asarray(imread_rgb(args.src))
+        if args.color == "rgb":
+            chans = jnp.moveaxis(rgb, -1, 0)  # (3, H, W) batch via vmap
+            out = np.moveaxis(np.asarray(op(chans, args.radius)), 0, -1)
+        else:  # lab
+            from tpuimg.ops.color import lab_to_rgb, rgb_to_lab
+
+            lab = rgb_to_lab(rgb)
+            L = op(lab[..., 0], args.radius)
+            out = np.asarray(lab_to_rgb(jnp.stack(
+                [L, lab[..., 1], lab[..., 2]], axis=-1)))
+        imwrite(_out_path(args.src, f"morph_{name}_{args.color}"), out)
+        print(f"wrote {args.color} {name} result")
+        return True
+
     img = _load_or_random(args.src, args.width, args.height, np.uint8)
-    op = tpuimg.erode if args.mode == 0 else tpuimg.dilate
-    ref = (erode_ref if args.mode == 0 else dilate_ref)(img, args.radius)
+    ref = ref_fn(img, args.radius)
     x = jnp.asarray(img)
     ok = True
-    impls = ("xla", "pallas") if args.radius <= 6 else ("xla",)
+    impls = ("xla", "pallas") if args.radius <= 6 and name in ("erode", "dilate") \
+        else ("xla",)
     for impl in impls:
         fn = lambda v: op(v, args.radius, impl=impl)
         out = np.asarray(fn(x))
         r = _time(fn, x, args.nreps, img.size)
-        ok &= _report(f"morph[{impl}] r={args.radius} mode={args.mode}",
+        ok &= _report(f"morph[{impl}] {name} r={args.radius}",
                       r.ms, r.gpix_s, _maxdiff(out, ref), 0)
         if args.src:
-            imwrite(_out_path(args.src, f"morph_{impl}_{args.mode}"), out)
+            imwrite(_out_path(args.src, f"morph_{impl}_{name}"), out)
     return ok
 
 
@@ -256,11 +285,30 @@ def cmd_sweep(args):
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")
+    if args.plot:
+        # latency-vs-radius plot (the reference's plot_time.py output)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.plot([r["radius"] for r in results], [r["ms"] for r in results],
+                marker="o")
+        ax.set_xlabel("radius")
+        ax.set_ylabel("ms / frame")
+        ax.set_title(f"{args.op} {args.width}x{args.height}")
+        fig.tight_layout()
+        fig.savefig(f"sweep_{args.op}.png", dpi=120)
+        print(f"wrote sweep_{args.op}.png")
     return True
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="tpuimg", description=__doc__)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX backend (this environment pins "
+                        "JAX_PLATFORMS, so an env var alone is not enough)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     g = sub.add_parser("gaussian")
@@ -311,6 +359,9 @@ def main(argv=None):
     m = sub.add_parser("morphology")
     m.add_argument("--radius", type=int, default=5)
     m.add_argument("--mode", type=int, default=0, choices=[0, 1])
+    m.add_argument("--op", default=None,
+                   choices=["erode", "dilate", "open", "close"])
+    m.add_argument("--color", default="gray", choices=["gray", "rgb", "lab"])
     m.add_argument("--nreps", type=int, default=20)
     m.add_argument("--width", type=int, default=3840)
     m.add_argument("--height", type=int, default=2160)
@@ -323,9 +374,14 @@ def main(argv=None):
     s.add_argument("--nreps", type=int, default=20)
     s.add_argument("--width", type=int, default=3840)
     s.add_argument("--height", type=int, default=2160)
+    s.add_argument("--plot", action="store_true")
     s.set_defaults(fn=cmd_sweep)
 
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     ok = args.fn(args)
     return 0 if ok else 1
 

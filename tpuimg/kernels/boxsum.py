@@ -10,6 +10,10 @@ TPU redesign: two Pallas band kernels sharing the sep_stencil halo-stream
 layout. Window sums are unrolled shifted adds over VMEM blocks (lane shifts
 for x, sublane shifts for y); the a/b algebra fuses into the same pass, so
 pass A is one read of (I, P) and one write of (A, B).
+
+Wide images are processed in column strips of ≤ 2048 output columns, each
+carrying a 2r-deep x halo so pass A → pass B compose exactly (the Mosaic
+compiler rejects ~4K-lane blocks for this kernel; strips also bound VMEM).
 """
 
 from __future__ import annotations
@@ -25,7 +29,16 @@ from tpuimg.core.borders import REFLECT101, pad_mode
 from tpuimg.core.layout import round_up
 from tpuimg.kernels import interpret_mode
 
-_BAND = 64  # smaller than sep_stencil: pass A holds 4 windowed planes in VMEM
+_MAX_STRIP = 2048  # output columns per strip
+
+
+def _pick_band(h: int, wp: int) -> int:
+    """Row band from the VMEM budget: pass A streams 6 double-buffered inputs
+    + 2 outputs and holds 4 windowed f32 planes."""
+    per_row = wp * 4 * 20
+    band = (10 * 1024 * 1024) // per_row
+    band = max(8, min(64, (band // 8) * 8))
+    return min(band, round_up(h, 8))
 
 
 def _xsum(t, ksz, wout):
@@ -42,12 +55,14 @@ def _ysum(t, ksz, rows):
     return acc
 
 
-def _pad_for_bands(x, r: int, band: int, hb: int, wp: int):
-    """reflect-101 halo + band-alignment padding (see sep_stencil layout)."""
-    h, w = x.shape
+def _pad_rows_for_bands(x, r: int, band: int, hb: int, wp: int):
+    """reflect-101 y halo + band/lane alignment padding; x is already padded
+    (or halo'd) by the caller."""
+    h = x.shape[0]
     hp = round_up(h, band)
-    x = jnp.pad(x, ((r, r), (r, r)), mode=pad_mode(REFLECT101))
-    return jnp.pad(x, ((band - r, hp - h - r + hb), (0, wp - w - 2 * r)), mode="edge")
+    x = jnp.pad(x, ((r, r), (0, 0)), mode=pad_mode(REFLECT101))
+    return jnp.pad(x, ((band - r, hp - h - r + hb), (0, wp - x.shape[1])),
+                   mode="edge")
 
 
 def _band_specs(band: int, hb: int, wp: int):
@@ -57,6 +72,80 @@ def _band_specs(band: int, hb: int, wp: int):
         pl.BlockSpec((band, wp), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((hb, wp), lambda i: ((i + 2) * bpr, 0), memory_space=pltpu.VMEM),
     ]
+
+
+def _guided_strip(Iseg, pseg, r: int, eps: float):
+    """Fused guided filter on one x-halo'd strip.
+
+    ``Iseg``/``pseg`` are (h, w_in) with w_in = w_out + 4r: the outer 2r
+    columns on each side are halo (reflect-extended or neighbor data). Output
+    is (h, w_out).
+    """
+    h, w_in = Iseg.shape
+    ksz = 2 * r + 1
+    coef = 1.0 / (ksz * ksz)
+    w_ab = w_in - 2 * r      # A/B are valid on the inner w_in - 2r columns
+    w_out = w_in - 4 * r
+    wab_l = round_up(w_ab, 128)
+    wp = round_up(max(w_in, wab_l + 2 * r), 128)
+    hb = round_up(max(r, 1), 8)
+    band = round_up(max(_pick_band(h, wp), hb), hb)
+    hp = round_up(h, band)
+
+    def concat3(top, cur, bot):
+        return jnp.concatenate([top[hb - r :], cur, bot[:r]], axis=0)
+
+    def ab_kernel(It, Ic, Ib, Pt, Pc, Pb, a_ref, b_ref):
+        Iv = concat3(It[:], Ic[:], Ib[:])  # (band+2r, wp)
+        Pv = concat3(Pt[:], Pc[:], Pb[:])
+        imu = _ysum(_xsum(Iv, ksz, wab_l), ksz, band) * coef
+        pmu = _ysum(_xsum(Pv, ksz, wab_l), ksz, band) * coef
+        ipmu = _ysum(_xsum(Iv * Pv, ksz, wab_l), ksz, band) * coef
+        iimu = _ysum(_xsum(Iv * Iv, ksz, wab_l), ksz, band) * coef
+        a = (ipmu - pmu * imu) / (iimu - imu * imu + jnp.float32(eps))
+        a_ref[:] = a
+        b_ref[:] = pmu - a * imu
+
+    Ip = _pad_rows_for_bands(Iseg, r, band, hb, wp)
+    Pp = _pad_rows_for_bands(pseg, r, band, hb, wp)
+    specs = _band_specs(band, hb, wp)
+    A, B = pl.pallas_call(
+        ab_kernel,
+        grid=(hp // band,),
+        in_specs=specs + specs,
+        out_specs=[
+            pl.BlockSpec((band, wab_l), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ] * 2,
+        out_shape=[jax.ShapeDtypeStruct((hp, wab_l), jnp.float32)] * 2,
+        interpret=interpret_mode(),
+    )(Ip, Ip, Ip, Pp, Pp, Pp)
+
+    wout_l = round_up(w_out, 128)
+    wp2 = round_up(max(w_ab, wout_l + 2 * r), 128)
+
+    def q_kernel(At, Ac, Ab_, Bt, Bc, Bb, Ic, q_ref):
+        Av = concat3(At[:], Ac[:], Ab_[:])
+        Bv = concat3(Bt[:], Bc[:], Bb[:])
+        asum = _ysum(_xsum(Av, ksz, wout_l), ksz, band)
+        bsum = _ysum(_xsum(Bv, ksz, wout_l), ksz, band)
+        q_ref[:] = (asum * Ic[:] + bsum) * jnp.float32(coef)
+
+    Ap = _pad_rows_for_bands(A[:h, :w_ab], r, band, hb, wp2)
+    Bp = _pad_rows_for_bands(B[:h, :w_ab], r, band, hb, wp2)
+    Io = jnp.pad(Iseg[:, 2 * r : 2 * r + w_out],
+                 ((0, hp - h), (0, wout_l - w_out)), mode="edge")
+    specs2 = _band_specs(band, hb, wp2)
+    q = pl.pallas_call(
+        q_kernel,
+        grid=(hp // band,),
+        in_specs=specs2 + specs2
+        + [pl.BlockSpec((band, wout_l), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((band, wout_l), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wout_l), jnp.float32),
+        interpret=interpret_mode(),
+    )(Ap, Ap, Ap, Bp, Bp, Bp, Io)
+    return q[:h, :w_out]
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "eps"))
@@ -69,60 +158,12 @@ def guided_filter_pallas(I, p, radius: int, eps: float):
     p = jnp.asarray(p, jnp.float32)
     h, w = I.shape
     r = radius
-    ksz = 2 * r + 1
-    coef = 1.0 / (ksz * ksz)
-    band = min(_BAND, round_up(h, 8))
-    hb = round_up(max(r, 1), 8)
-    wout = round_up(w, 128)
-    wp = round_up(wout + 2 * r, 128)
-    hp = round_up(h, band)
-
-    def concat3(top, cur, bot):
-        return jnp.concatenate([top[hb - r :], cur, bot[:r]], axis=0)
-
-    def ab_kernel(It, Ic, Ib, Pt, Pc, Pb, a_ref, b_ref):
-        Iv = concat3(It[:], Ic[:], Ib[:])  # (band+2r, wp)
-        Pv = concat3(Pt[:], Pc[:], Pb[:])
-        imu = _ysum(_xsum(Iv, ksz, wout), ksz, band) * coef
-        pmu = _ysum(_xsum(Pv, ksz, wout), ksz, band) * coef
-        ipmu = _ysum(_xsum(Iv * Pv, ksz, wout), ksz, band) * coef
-        iimu = _ysum(_xsum(Iv * Iv, ksz, wout), ksz, band) * coef
-        a = (ipmu - pmu * imu) / (iimu - imu * imu + jnp.float32(eps))
-        a_ref[:] = a
-        b_ref[:] = pmu - a * imu
-
-    Ip = _pad_for_bands(I, r, band, hb, wp)
-    Pp = _pad_for_bands(p, r, band, hb, wp)
-    specs = _band_specs(band, hb, wp)
-    A, B = pl.pallas_call(
-        ab_kernel,
-        grid=(hp // band,),
-        in_specs=specs + specs,
-        out_specs=[
-            pl.BlockSpec((band, wout), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ] * 2,
-        out_shape=[jax.ShapeDtypeStruct((hp, wout), jnp.float32)] * 2,
-        interpret=interpret_mode(),
-    )(Ip, Ip, Ip, Pp, Pp, Pp)
-
-    def q_kernel(At, Ac, Ab, Bt, Bc, Bb, Ic, q_ref):
-        Av = concat3(At[:], Ac[:], Ab[:])
-        Bv = concat3(Bt[:], Bc[:], Bb[:])
-        asum = _ysum(_xsum(Av, ksz, wout), ksz, band)
-        bsum = _ysum(_xsum(Bv, ksz, wout), ksz, band)
-        q_ref[:] = (asum * Ic[:] + bsum) * jnp.float32(coef)
-
-    Ap = _pad_for_bands(A[:h, :w], r, band, hb, wp)
-    Bp = _pad_for_bands(B[:h, :w], r, band, hb, wp)
-    Io = jnp.pad(I, ((0, hp - h), (0, wout - w)), mode="edge")
-    q = pl.pallas_call(
-        q_kernel,
-        grid=(hp // band,),
-        in_specs=specs + specs
-        + [pl.BlockSpec((band, wout), lambda i: (i, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((band, wout), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, wout), jnp.float32),
-        interpret=interpret_mode(),
-    )(Ap, Ap, Ap, Bp, Bp, Bp, Io)
-    return q[:h, :w]
+    # x halo once, at 2r depth (pass A consumes r, pass B consumes r more)
+    Ix = jnp.pad(I, ((0, 0), (2 * r, 2 * r)), mode=pad_mode(REFLECT101))
+    px = jnp.pad(p, ((0, 0), (2 * r, 2 * r)), mode=pad_mode(REFLECT101))
+    outs = []
+    for x0 in range(0, w, _MAX_STRIP):
+        x1 = min(x0 + _MAX_STRIP, w)
+        seg = slice(x0, x1 + 4 * r)  # in padded coords: [x0, x1 + 4r)
+        outs.append(_guided_strip(Ix[:, seg], px[:, seg], r, eps))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)

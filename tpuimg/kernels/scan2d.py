@@ -53,19 +53,72 @@ def _scan_shift(x, axis: int):
 
 
 def _row_scan_kernel(x_ref, o_ref):
-    o_ref[:] = _scan_shift(x_ref[:].astype(jnp.int32), axis=1)
+    """Row (lane) scan: per-128-lane-tile prefix sums as one triangular
+    matmul on the MXU, then a tiny carry scan across tiles.
+
+    Exactness: the triangular operand is 0/1 (products exact under any bf16
+    split), in-tile sums ≤ 255·128 < 2^16 and carried totals ≤ 255·W < 2^24,
+    all exact in f32 accumulation; the final int32 cast is lossless.
+    """
+    rows, wp = o_ref.shape
+    nt = wp // 128
+    # Mosaic has no direct u8→f32 cast; go through int32
+    x = x_ref[:].astype(jnp.int32).astype(jnp.float32).reshape(rows * nt, 128)
+    # upper-triangular ones: cums[j] = Σ_{i<=j} x[i]
+    i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    U = (i <= j).astype(jnp.float32)
+    # u8 pixel values (≤255) are exactly representable in bf16, and U is 0/1,
+    # so a single bf16 pass is exact with f32 accumulation
+    intile = jax.lax.dot_general(
+        x, U, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(rows, nt, 128)
+    totals = intile[:, :, 127]  # (rows, nt)
+    # exclusive cross-tile carry: strictly-lower-triangular matmul over nt
+    a = jax.lax.broadcasted_iota(jnp.int32, (nt, nt), 0)
+    b = jax.lax.broadcasted_iota(jnp.int32, (nt, nt), 1)
+    L = (a < b).astype(jnp.float32)
+    # tile totals need ≤16 mantissa bits (≤255·128): exact selection needs
+    # multi-pass splitting; Mosaic only lowers DEFAULT and HIGHEST, and this
+    # matmul is tiny, so HIGHEST costs nothing
+    carry = jax.lax.dot_general(
+        totals, L, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    out = intile + carry[:, :, None]
+    o_ref[:] = out.reshape(rows, wp).astype(jnp.int32)
+
+
+_SEG = 8  # column-scan segment height
 
 
 def _col_scan_kernel(x_ref, o_ref, carry):
+    """Column (sublane) scan, two-level: 3 roll-steps within 8-row segments,
+    then a small scan of segment totals — int32 throughout (column totals
+    exceed 2^24, so no float detour is allowed here)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         carry[:] = jnp.zeros_like(carry)
 
-    s = _scan_shift(x_ref[:], axis=0) + carry[:]
+    rows, w = o_ref.shape
+    x = x_ref[:]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    for shift in (1, 2, 4):
+        rolled = pltpu.roll(x, shift, axis=0)
+        x = x + jnp.where(idx % _SEG >= shift, rolled, 0)
+    nseg = rows // _SEG
+    totals = x.reshape(nseg, _SEG, w)[:, _SEG - 1]  # (nseg, w)
+    seg_carry = _scan_shift(totals, axis=0) - totals  # exclusive
+    expanded = jnp.broadcast_to(
+        seg_carry[:, None, :], (nseg, _SEG, w)
+    ).reshape(rows, w)
+    s = x + expanded + carry[:]
     o_ref[:] = s
-    carry[:] = s[-1:, :]
+    carry[:] = s[rows - 1 :, :]
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -33,12 +33,28 @@ from tpuimg.core.kernelgen import gaussian_kernel_1d
 from tpuimg.core.layout import round_up
 from tpuimg.kernels import interpret_mode
 
-_BAND = 256  # output rows per grid step
+def _halo_unit(dtype) -> int:
+    """Minimum sublane granularity: (8,128) for 4-byte dtypes, (32,128) for
+    1-byte (Mosaic rejects thinner u8 blocks)."""
+    return 32 if jnp.dtype(dtype).itemsize == 1 else 8
 
 
-def _make_kernel(radius: int, band: int, wout: int, weights, is_min):
+def _pick_band(h: int, wp: int, dtype, radius: int) -> int:
+    """Row band sized to the VMEM budget: ~3 double-buffered input streams,
+    one output stream, and the (band+2r, wp) intermediate must fit."""
+    hu = _halo_unit(dtype)
+    item = jnp.dtype(dtype).itemsize
+    budget = 10 * 1024 * 1024
+    # bytes/row: 3 in-streams + 1 out stream, double-buffered, + ~2
+    # intermediate planes at f32
+    per_row = wp * (item * 8 + 4 * 2)
+    band = budget // per_row
+    band = max(hu, min(256, (band // hu) * hu))
+    return min(band, round_up(h, hu))
+
+
+def _make_kernel(radius: int, band: int, wout: int, weights, is_min, hb: int):
     r = radius
-    hb = round_up(max(r, 1), 8)  # halo strip rows (block-aligned)
 
     def x_reduce(t):
         if weights is not None:
@@ -74,17 +90,18 @@ def _make_kernel(radius: int, band: int, wout: int, weights, is_min):
         )  # (band + 2r, wp)
         o_ref[:] = y_reduce(x_reduce(t))
 
-    return kernel, hb
+    return kernel
 
 
 def _sep_stencil(img, radius: int, weights, is_min: bool, border: str):
     """Run the fused engine on a 2D image."""
     h, w = img.shape
     r = radius
-    band = min(_BAND, round_up(h, 8))
-    hb = round_up(max(r, 1), 8)
     wout = round_up(w, 128)
     wp = round_up(wout + 2 * r, 128)
+    hu = _halo_unit(img.dtype)
+    hb = round_up(max(r, 1), hu)
+    band = round_up(max(_pick_band(h, wp, img.dtype, r), hb), hb)
     hp = round_up(h, band)
 
     # reflect/replicate halo + alignment padding (values in the alignment
@@ -93,7 +110,7 @@ def _sep_stencil(img, radius: int, weights, is_min: bool, border: str):
     x = jnp.pad(x, ((band - r, hp - h - r + hb), (0, wp - w - 2 * r)), mode="edge")
     # rows: [band - r, band + h + r) hold the halo-padded image
 
-    kernel, hb = _make_kernel(r, band, wout, weights, is_min)
+    kernel = _make_kernel(r, band, wout, weights, is_min, hb)
     bpr = band // hb  # halo-blocks per band
 
     out = pl.pallas_call(
@@ -127,7 +144,16 @@ def gaussian_pallas(img, radius: int, sigma: float):
 
 
 def morphology_pallas(img, radius: int, mode: int):
-    """Fused separable erode (mode 0) / dilate (mode 1), replicate border."""
+    """Fused separable erode (mode 0) / dilate (mode 1), replicate border.
+
+    uint8 inputs are widened to int32 for the kernel (the Mosaic compiler
+    rejects the thin u8 halo blocks) and narrowed back — results identical.
+    """
     if img.ndim != 2:
         return jax.vmap(lambda v: morphology_pallas(v, radius, mode))(img)
-    return _sep_stencil(jnp.asarray(img), radius, None, mode == 0, REPLICATE)
+    img = jnp.asarray(img)
+    if img.dtype == jnp.uint8:
+        out = _sep_stencil(img.astype(jnp.int32), radius, None, mode == 0,
+                           REPLICATE)
+        return out.astype(jnp.uint8)
+    return _sep_stencil(img, radius, None, mode == 0, REPLICATE)

@@ -131,9 +131,22 @@ def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
     pad_top = (th * ytiles - h) >> 1
 
     # --- per-tile histograms over the reflect-101 centered extension ---
-    ys = _reflect101(jnp.arange(th * ytiles) - pad_top, h)
-    xs = _reflect101(jnp.arange(tw * xtiles) - pad_left, w)
-    ext = img[..., ys, :][..., :, xs]
+    # (flip+concat of border slices, not an index gather — TPU gathers are
+    # slow; identical to the reflect-101 index map since pads < image dims)
+    pad_bot = th * ytiles - h - pad_top
+    pad_right = tw * xtiles - w - pad_left
+    if max(pad_top, pad_bot) + 1 > h or max(pad_left, pad_right) + 1 > w:
+        raise ValueError(
+            f"tile grid {xtiles}x{ytiles} needs more reflect padding than the "
+            f"{h}x{w} image can provide (reference dLimitSize has the same "
+            f"validity bound)"
+        )
+    ext = jnp.concatenate(
+        [jnp.flip(img[1 : pad_top + 1, :], axis=0), img,
+         jnp.flip(img[h - 1 - pad_bot : h - 1, :], axis=0)], axis=0)
+    ext = jnp.concatenate(
+        [jnp.flip(ext[:, 1 : pad_left + 1], axis=1), ext,
+         jnp.flip(ext[:, w - 1 - pad_right : w - 1], axis=1)], axis=1)
     tiles = ext.reshape(ytiles, th, xtiles, tw).transpose(0, 2, 1, 3)
     hists = hist256_tiled(tiles.reshape(ytiles * xtiles, th, tw))
 
