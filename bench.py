@@ -50,6 +50,8 @@ def main():
         ("guided_r8_4k", lambda x: tpuimg.guided_filter(x, x, 8, 1e-3), img4k_f, PIX4K),
         ("morph_31x31_4k_batch2", lambda x: tpuimg.dilate(tpuimg.erode(x, 15), 15),
          batch4k_u8, 2 * 2 * PIX4K),
+        ("enhance_pipeline_4k", lambda x: __import__(
+            "tpuimg.pipeline", fromlist=["enhance"]).enhance(x), img4k_u8, PIX4K),
     ]
 
     detail = {}

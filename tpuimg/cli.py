@@ -304,6 +304,55 @@ def cmd_sweep(args):
     return True
 
 
+def cmd_stream(args):
+    """End-to-end streaming: native threaded decode → device pipeline → PNG.
+
+    The production-serving shape: the C++ prefetcher (tpuimg.native) decodes
+    ahead on worker threads while the device runs the fused pipeline, so
+    decode, transfer, and compute overlap.
+    """
+    import glob as globmod
+    import time
+
+    import jax.numpy as jnp
+
+    import tpuimg
+    from tpuimg import native
+    from tpuimg.pipeline import enhance
+
+    paths = sorted(globmod.glob(args.pattern))
+    if not paths:
+        print(f"no files match {args.pattern}")
+        return False
+    os.makedirs(args.out, exist_ok=True)
+
+    ops = {
+        "enhance": lambda x: enhance(x),
+        "clahe": lambda x: tpuimg.clahe(x, args.clip, 8, 8),
+        "he": tpuimg.hist_equalize,
+        "erode": lambda x: tpuimg.erode(x, args.radius),
+        "gaussian": lambda x: (
+            tpuimg.gaussian(x.astype(jnp.float32) / 255.0, args.radius, 1.5)
+            * 255.0
+        ).astype(jnp.uint8),
+    }
+    fn = ops[args.op]
+
+    t0 = time.perf_counter()
+    n = 0
+    with native.FrameStream(paths, (args.height, args.width), gray=True,
+                            threads=args.threads) as fs:
+        for idx, frame in fs:
+            out = np.asarray(fn(jnp.asarray(frame)))
+            name = os.path.basename(paths[idx])
+            native.write_png(os.path.join(args.out, name), out)
+            n += 1
+    dt = time.perf_counter() - t0
+    print(f"processed {n} frames ({args.width}x{args.height}, op={args.op}) "
+          f"in {dt:.2f}s = {n / dt:.2f} fps end-to-end")
+    return True
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="tpuimg", description=__doc__)
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
@@ -376,6 +425,18 @@ def main(argv=None):
     s.add_argument("--height", type=int, default=2160)
     s.add_argument("--plot", action="store_true")
     s.set_defaults(fn=cmd_sweep)
+
+    st = sub.add_parser("stream")
+    st.add_argument("pattern", help="glob of input images")
+    st.add_argument("--op", default="enhance",
+                    choices=["enhance", "clahe", "he", "erode", "gaussian"])
+    st.add_argument("--out", default="stream_out")
+    st.add_argument("--width", type=int, default=1920)
+    st.add_argument("--height", type=int, default=1080)
+    st.add_argument("--radius", type=int, default=3)
+    st.add_argument("--clip", type=float, default=2.0)
+    st.add_argument("--threads", type=int, default=4)
+    st.set_defaults(fn=cmd_stream)
 
     args = p.parse_args(argv)
     if args.platform:

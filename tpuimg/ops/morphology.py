@@ -113,11 +113,11 @@ def dilate(img, radius: int, impl: str = "xla"):
     return _morph(img, radius, 1, impl)
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def morph_open(img, radius: int):
-    return dilate(erode(img, radius), radius)
+@functools.partial(jax.jit, static_argnames=("radius", "impl"))
+def morph_open(img, radius: int, impl: str = "xla"):
+    return dilate(erode(img, radius, impl), radius, impl)
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def morph_close(img, radius: int):
-    return erode(dilate(img, radius), radius)
+@functools.partial(jax.jit, static_argnames=("radius", "impl"))
+def morph_close(img, radius: int, impl: str = "xla"):
+    return erode(dilate(img, radius, impl), radius, impl)
