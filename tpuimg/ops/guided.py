@@ -25,17 +25,27 @@ import jax.numpy as jnp
 from tpuimg.core.borders import REFLECT101, SHRINK, pad_mode
 
 
+# below this radius, direct shifted adds (which XLA fuses into one pass)
+# beat the cumsum-difference form (measured crossover ~r5 on v5e)
+_DIRECT_MAX_RADIUS = 5
+
+
 def _window_sum(x, radius: int, axis: int, border: str):
     """Sliding sum of width 2r+1 along ``axis`` with the given border policy.
 
-    Computed as a cumsum difference: s[i] = c[i + 2r + 1] - c[i] over the
-    padded, zero-prepended cumulative sum — one HBM pass, no (2r+1)-deep loop.
+    Small radii: direct shifted adds (one fused pass). Larger: cumsum
+    difference s[i] = c[i + 2r + 1] - c[i] — O(1) work per pixel.
     """
     n = x.shape[axis]
     ksz = 2 * radius + 1
     pad = [(0, 0)] * x.ndim
     pad[axis] = (radius, radius)
     xp = jnp.pad(x, pad, mode=pad_mode(border))
+    if radius <= _DIRECT_MAX_RADIUS:
+        acc = jax.lax.slice_in_dim(xp, 0, n, axis=axis)
+        for k in range(1, ksz):
+            acc = acc + jax.lax.slice_in_dim(xp, k, k + n, axis=axis)
+        return acc
     c = jnp.cumsum(xp, axis=axis, dtype=x.dtype)
     zpad = [(0, 0)] * x.ndim
     zpad[axis] = (1, 0)
@@ -104,9 +114,22 @@ def box_filter(x, radius: int, border: str = SHRINK):
 
 @functools.partial(jax.jit, static_argnames=("radius", "eps", "border", "impl"))
 def guided_filter(I, p, radius: int, eps: float, border: str = SHRINK,
-                  impl: str = "xla"):
+                  impl: str = "auto"):
     """Guided filter q = mean(a)·I + mean(b) with a/b from per-channel
-    variance (gCalcA math, guided_filter_d.cu:306-346)."""
+    variance (gCalcA math, guided_filter_d.cu:306-346).
+
+    impl="auto" mirrors the reference's radius ladder (hGuidedFilter,
+    guided_filter_d.cu:1047-1093): the fused Pallas path for small radii
+    with reflect-101 border on TPU (measured faster through r≈6 on v5e),
+    the XLA chain otherwise.
+    """
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if (jax.default_backend() != "cpu" and border == REFLECT101
+                and radius <= 6)
+            else "xla"
+        )
     if impl == "pallas":
         from tpuimg.kernels.boxsum import guided_filter_pallas
 
