@@ -91,27 +91,21 @@ def lut_apply(table, x):
     return jnp.sum(mid * oh_lo, axis=-1)
 
 
-def _split3_bf16(T):
-    """Exact 3-way bf16 decomposition of an f32 array: T = t1 + t2 + t3 with
-    each part bf16-representable. 8 mantissa bits per part cover f32's 24, and
-    the partial f32 sums t1+t2 (≤16 bits) and +t3 (≤24 bits) round exactly,
-    so a one-hot selection through the three parts reproduces T bit-exactly.
-    """
-    t1 = T.astype(jnp.bfloat16)
-    r1 = T - t1.astype(jnp.float32)
-    t2 = r1.astype(jnp.bfloat16)
-    t3 = (r1 - t2.astype(jnp.float32)).astype(jnp.bfloat16)
-    return t1, t2, t3
-
-
 def lut_apply4(t11, t12, t21, t22, x):
     """Evaluate four 256-entry float tables at the same u8 indices, sharing
     the one-hot factors (the CLAHE 4-corner lookup,
     image_process.cu:462-469). Returns four float32 arrays.
 
-    Uses precision=highest f32 einsums for exact table selection. (A 3-way
-    bf16 split-table variant with fewer MXU passes was tried and measured
-    SLOWER and less exact on v5e — see _split3_bf16, kept for reference.)
+    Uses precision=highest f32 einsums for exact table selection. Two
+    fewer-MXU-pass alternatives were benchmarked on v5e and BOTH measured
+    slower (don't re-try without new evidence):
+    - 3-way bf16 split of the f32 tables, fused (16, 64) operand: 6.8 ms
+      CLAHE vs 4.4 ms, and fma-boundary exactness regressed;
+    - base-256 digit decomposition of the integer cdfs with single-pass
+      bf16 matmuls + f32 recombination: 4.8 ms vs 4.4 ms.
+    The HIGHEST (6-pass) einsum wins because XLA keeps the whole chain in
+    one fusion; the alternatives add VPU recombination traffic that
+    dominates the saved MXU passes.
     """
     oh_hi, oh_lo = onehot_nibbles(x, jnp.float32)
     outs = []
@@ -120,3 +114,5 @@ def lut_apply4(t11, t12, t21, t22, x):
         mid = jnp.einsum("...a,ab->...b", oh_hi, T, precision="highest")
         outs.append(jnp.sum(mid * oh_lo, axis=-1))
     return outs
+
+

@@ -69,12 +69,6 @@ def hist_equalize(img, impl: str = "xla"):
 # ---------------------------------------------------------------------------
 
 
-def _reflect101(idx, size: int):
-    idx = jnp.abs(idx)
-    over = idx - (size - 1)
-    return idx - 2 * jnp.maximum(over, 0)
-
-
 def _clip_redistribute(hists, limit: int):
     """Vectorized gClipLimit (image_process.cu:242-268).
 

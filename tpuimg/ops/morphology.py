@@ -24,8 +24,10 @@ import jax.numpy as jnp
 from tpuimg.core.borders import REPLICATE, pad_mode
 from tpuimg.core.layout import round_up
 
-# Below this radius the (2r+1)-term shift-reduce beats the scan-based van Herk.
-_VANHERK_MIN_RADIUS = 8
+# Below this radius the (2r+1)-term shift-reduce beats the scan-based van
+# Herk (4K v5e sweep, docs/sweep_morphology.json: shift-reduce r7 ≈ 0.41 ms
+# vs van Herk r8 ≈ 1.1 ms; van Herk flattens to ~0.6-0.9 ms for all radii).
+_VANHERK_MIN_RADIUS = 12
 
 
 def _shift_reduce_axis(x, radius: int, axis: int, fn):
