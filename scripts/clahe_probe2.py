@@ -1,0 +1,69 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax, jax.numpy as jnp
+import tpuimg
+from tpuimg.core.timing import time_scan_fn
+from tpuimg.kernels.onehot import onehot_nibbles
+from tpuimg.core.layout import cdiv
+from tpuimg.ops.histogram import _clip_redistribute, _tile_coord_runs, hist256_tiled
+
+log = open("clahe_probe2.log", "a")
+def p(s):
+    print(s, flush=True); log.write(s+"\n"); log.flush()
+
+def lut_apply4_fused(t11, t12, t21, t22, x):
+    oh_hi, oh_lo = onehot_nibbles(x, jnp.float32)
+    T4 = jnp.stack([t.astype(jnp.float32).reshape(16, 16)
+                    for t in (t11, t12, t21, t22)], axis=-1).reshape(16, 64)
+    mid = jnp.einsum("...a,ab->...b", oh_hi, T4, precision="highest")
+    mid = mid.reshape(x.shape + (16, 4))
+    sel = jnp.sum(mid * oh_lo[..., None], axis=-2)
+    return [sel[..., c] for c in range(4)]
+
+def clahe_fused(img, clip_limit=40.0, xtiles=8, ytiles=8):
+    img = jnp.asarray(img, jnp.uint8)
+    h, w = img.shape
+    tw, th = cdiv(w, xtiles), cdiv(h, ytiles)
+    pad_left = (tw * xtiles - w) >> 1
+    pad_top = (th * ytiles - h) >> 1
+    pad_bot = th * ytiles - h - pad_top
+    pad_right = tw * xtiles - w - pad_left
+    ext = jnp.concatenate([jnp.flip(img[1:pad_top+1,:],0), img,
+                           jnp.flip(img[h-1-pad_bot:h-1,:],0)],0)
+    ext = jnp.concatenate([jnp.flip(ext[:,1:pad_left+1],1), ext,
+                           jnp.flip(ext[:,w-1-pad_right:w-1],1)],1)
+    tiles = ext.reshape(ytiles, th, xtiles, tw).transpose(0,2,1,3)
+    hists = hist256_tiled(tiles.reshape(-1, th, tw))
+    limit = int(tw * th * clip_limit / 256 + 0.5)
+    hists = _clip_redistribute(hists, limit)
+    fr = jnp.float32(255.0 / (tw * th))
+    tables = jnp.cumsum(hists, axis=-1).astype(jnp.float32) * fr
+    yruns = _tile_coord_runs(h, ytiles, th, pad_top, use_recip=False)
+    xruns = _tile_coord_runs(w, xtiles, tw, pad_left, use_recip=True)
+    bands = []
+    for y0,y1,ty1,ty2,ya_np in yruns:
+        ya = jnp.asarray(ya_np, jnp.float32)[:,None]; ya1 = 1.0-ya
+        row=[]
+        for x0,x1,tx1,tx2,xa_np in xruns:
+            xa = jnp.asarray(xa_np, jnp.float32)[None,:]; xa1 = 1.0-xa
+            v = img[y0:y1, x0:x1]
+            t11,t12,t21,t22 = lut_apply4_fused(
+                tables[ty1*xtiles+tx1], tables[ty1*xtiles+tx2],
+                tables[ty2*xtiles+tx1], tables[ty2*xtiles+tx2], v)
+            row.append((t11*xa1+t12*xa)*ya1+(t21*xa1+t22*xa)*ya)
+        bands.append(jnp.concatenate(row,axis=-1))
+    out = jnp.concatenate(bands,axis=-2)
+    return jnp.clip(jnp.trunc(out), 0.0, 255.0).astype(jnp.uint8)
+
+key = jax.random.PRNGKey(0)
+img = jax.random.randint(key, (2160, 3840), 0, 256, jnp.int32).astype(jnp.uint8)
+PIX = 2160*3840
+cf = jax.jit(clahe_fused, static_argnames=("clip_limit","xtiles","ytiles"))
+sm = jax.random.randint(key, (541, 733), 0, 256, jnp.int32).astype(jnp.uint8)
+from tpuimg.oracle import clahe_ref
+p(f"fused-table maxdiff vs oracle: {np.abs(np.asarray(cf(sm, 2.0, 8, 8)).astype(int) - clahe_ref(np.asarray(sm), 2.0, 8, 8).astype(int)).max()}")
+r = time_scan_fn(lambda x: cf(x, 40.0, 8, 8), img, iters=25, pixels=PIX)
+p(f"clahe fused-table HIGHEST: {r.ms:.3f} ms {r.gpix_s:.2f} GPix/s")
+r = time_scan_fn(lambda x: tpuimg.clahe(x, 40.0, 8, 8), img, iters=25, pixels=PIX)
+p(f"clahe current:             {r.ms:.3f} ms {r.gpix_s:.2f} GPix/s")
+p("DONE")

@@ -29,3 +29,14 @@ def test_guided_filter_self_guide(rng):
     out = np.asarray(guided_filter(I, I, 4, 1e-2))
     ref = guided_filter_ref(I, I, 4, 1e-2)
     assert np.abs(out - ref).max() < 1e-3
+
+
+def test_guided_color_src_gray_guide(rng):
+    # reference CN1 path: 3-channel source, single-channel guide
+    I = rng.random((40, 60), dtype=np.float32)
+    p = rng.random((3, 40, 60), dtype=np.float32)
+    out = np.asarray(guided_filter(I, p, 4, 1e-2))
+    assert out.shape == (3, 40, 60)
+    for c in range(3):
+        ref = guided_filter_ref(I, p[c], 4, 1e-2, border="shrink")
+        assert np.abs(out[c] - ref).max() < 1e-3

@@ -1,0 +1,48 @@
+import numpy as np
+import pytest
+
+import tpuimg
+from tpuimg.core.params import ClaheConfig, GaussianConfig, GuidedConfig, MorphConfig
+from tpuimg.core.validate import DTypeError, ParamError, ShapeError, check_image
+
+
+def test_radius_zero_rejected():
+    with pytest.raises(ValueError):
+        tpuimg.gaussian(np.zeros((8, 8), np.float32), 0, 1.0)
+
+
+def test_bad_border_rejected():
+    with pytest.raises(ValueError, match="border"):
+        tpuimg.box_filter(np.zeros((8, 8), np.float32), 2, border="wrap")
+
+
+def test_1d_input_rejected():
+    with pytest.raises(ShapeError):
+        tpuimg.integral(np.zeros(16, np.uint8))
+
+
+def test_check_image_dtype():
+    with pytest.raises(DTypeError):
+        check_image(np.zeros((4, 4), np.int64), dtypes=[np.uint8])
+
+
+def test_clahe_excess_tiles_rejected():
+    with pytest.raises(ValueError, match="padding"):
+        tpuimg.clahe(np.zeros((4, 4), np.uint8), 2.0, 40, 40)
+
+
+def test_configs_validate():
+    GaussianConfig(radius=3, sigma=2.0)
+    with pytest.raises(ValueError):
+        GaussianConfig(radius=0)
+    with pytest.raises(ValueError):
+        MorphConfig(mode=2)
+    with pytest.raises(ValueError):
+        GuidedConfig(eps=0)
+    with pytest.raises(ValueError):
+        ClaheConfig(clip_limit=-1)
+
+
+def test_configs_hashable_for_jit():
+    assert hash(GaussianConfig()) == hash(GaussianConfig())
+    assert GuidedConfig() == GuidedConfig()

@@ -102,10 +102,12 @@ def lut_apply4(t11, t12, t21, t22, x):
     - 3-way bf16 split of the f32 tables, fused (16, 64) operand: 6.8 ms
       CLAHE vs 4.4 ms, and fma-boundary exactness regressed;
     - base-256 digit decomposition of the integer cdfs with single-pass
-      bf16 matmuls + f32 recombination: 4.8 ms vs 4.4 ms.
-    The HIGHEST (6-pass) einsum wins because XLA keeps the whole chain in
-    one fusion; the alternatives add VPU recombination traffic that
-    dominates the saved MXU passes.
+      bf16 matmuls + f32 recombination: 4.8 ms vs 4.4 ms;
+    - fusing all 4 tables into one (16, 64) HIGHEST matmul: 4.58 ms vs
+      4.51 ms (a wash — the op is fusion-bound, not MXU-pass-bound).
+    The per-table HIGHEST einsum wins because XLA keeps the whole chain in
+    one fusion; a further speedup needs a Pallas kernel with VMEM-resident
+    tables, not einsum reshuffling.
     """
     oh_hi, oh_lo = onehot_nibbles(x, jnp.float32)
     outs = []

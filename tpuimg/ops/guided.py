@@ -130,12 +130,19 @@ def guided_filter(I, p, radius: int, eps: float, border: str = SHRINK,
                 and radius <= 6)
             else "xla"
         )
+    I = jnp.asarray(I, jnp.float32)
+    p = jnp.asarray(p, jnp.float32)
+    if p.ndim == I.ndim + 1:
+        # C-channel source with a shared (e.g. gray) guide — the reference's
+        # CN1 kernels (gCalcACN1/gCalcBCN1/gLinearTransformCN1,
+        # guided_filter_d.cu:326-412): per-channel scalar filter, guide fixed
+        return jax.vmap(
+            lambda pc: guided_filter(I, pc, radius, eps, border, impl)
+        )(p)
     if impl == "pallas":
         from tpuimg.kernels.boxsum import guided_filter_pallas
 
         return guided_filter_pallas(I, p, radius, eps)
-    I = jnp.asarray(I, jnp.float32)
-    p = jnp.asarray(p, jnp.float32)
     box = functools.partial(box_filter, radius=radius, border=border)
     mean_p = box(p)
     mean_I = box(I)
