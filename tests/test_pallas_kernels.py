@@ -53,3 +53,23 @@ def test_gaussian_pallas_batched(rng):
     out = np.asarray(gaussian(imgs, 2, 1.5, impl="pallas"))
     for i in range(2):
         assert np.abs(out[i] - gaussian_ref(imgs[i], 2, 1.5)).max() < 1e-5
+
+
+@pytest.mark.parametrize("shape", [(90, 110), (128, 256)])
+def test_he_gather_lut_exact(rng, shape):
+    from tpuimg import hist_equalize
+    from tpuimg.oracle import hist_equalize_ref
+
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = np.asarray(hist_equalize(img, impl="pallas"))
+    np.testing.assert_array_equal(out, hist_equalize_ref(img))
+
+
+def test_clahe_gather_map_exact(rng):
+    from tpuimg import clahe
+    from tpuimg.oracle import clahe_ref
+
+    img = rng.integers(0, 256, (100, 140), dtype=np.uint8)
+    out = np.asarray(clahe(img, 30.0, 5, 3, impl="pallas"))
+    ref = clahe_ref(img, 30.0, 5, 3)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1

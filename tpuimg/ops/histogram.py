@@ -47,7 +47,7 @@ def apply_lut(table, img):
 
 
 @functools.partial(jax.jit, static_argnames=("impl",))
-def hist_equalize(img, impl: str = "xla"):
+def hist_equalize(img, impl: str = "auto"):
     """Global HE of a uint8 image: table[v] = rint(min(255, cdf[v]*256/N))
     (gCalcHeTable, image_process.cu:115-123; factor hist_equalization.cpp:58).
 
@@ -57,10 +57,16 @@ def hist_equalize(img, impl: str = "xla"):
     levels; see .claude/skills/verify/SKILL.md).
     """
     img = jnp.asarray(img, jnp.uint8)
-    hist = hist256(img)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+    hist = hist256(img)  # one-hot MXU contraction (kernels/onehot.py)
     cdf = jnp.cumsum(hist).astype(jnp.float32)
     factor = jnp.float32(256.0 / img.size)
     table = jnp.rint(jnp.minimum(jnp.float32(255.0), cdf * factor)).astype(jnp.uint8)
+    if impl == "pallas" and img.ndim == 2:
+        from tpuimg.kernels.lut import lut_gather
+
+        return lut_gather(table, img)
     return lut_apply(table, img)
 
 
@@ -115,9 +121,12 @@ def _tile_coord_runs(n: int, tiles: int, tsize: int, pad: int, use_recip: bool):
     jax.jit, static_argnames=("clip_limit", "xtiles", "ytiles", "impl")
 )
 def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
-          impl: str = "xla"):
+          impl: str = "auto"):
     """CLAHE of a uint8 (H, W) image, matching Claher::run exactly
-    (defaults from the demo, Histogram/main.cpp:80-82)."""
+    (defaults from the demo, Histogram/main.cpp:80-82).
+
+    impl="auto": the bilinear mapping runs as the lane-dynamic-gather Pallas
+    kernel (kernels/lut.py) on TPU, or the one-hot einsum form on CPU."""
     img = jnp.asarray(img, jnp.uint8)
     h, w = img.shape[-2], img.shape[-1]
     tw, th = cdiv(w, xtiles), cdiv(h, ytiles)
@@ -153,8 +162,33 @@ def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
     tables = jnp.cumsum(hists, axis=-1).astype(jnp.float32) * fr  # (T, 256)
 
     # --- bilinear 4-LUT interpolation, region-decomposed ---
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
     yruns = _tile_coord_runs(h, ytiles, th, pad_top, use_recip=False)
     xruns = _tile_coord_runs(w, xtiles, tw, pad_left, use_recip=True)
+
+    if impl == "pallas":
+        from tpuimg.kernels.lut import clahe_region_map
+
+        inv_tw = float(np.float32(1.0) / np.float32(tw))
+        bands = []
+        for y0, y1, ty1, ty2, _ in yruns:
+            row_chunks = []
+            for x0, x1, tx1, tx2, _ in xruns:
+                tables4 = jnp.stack([
+                    tables[ty1 * xtiles + tx1],
+                    tables[ty1 * xtiles + tx2],
+                    tables[ty2 * xtiles + tx1],
+                    tables[ty2 * xtiles + tx2],
+                ])
+                row_chunks.append(clahe_region_map(
+                    img[y0:y1, x0:x1], tables4,
+                    y0=float(y0), x0=float(x0), pad_left=float(pad_left),
+                    inv_tw=inv_tw, tx1=float(tx1), pad_top=float(pad_top),
+                    th=float(th), ty1=float(ty1),
+                ))
+            bands.append(jnp.concatenate(row_chunks, axis=-1))
+        return jnp.concatenate(bands, axis=-2)
 
     bands = []
     for y0, y1, ty1, ty2, ya_np in yruns:
