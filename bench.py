@@ -42,22 +42,27 @@ def main():
     PIX4K, PIX1080 = 2160 * 3840, 1080 * 1920
 
     configs = [
-        # (name, fn, arg, pixels) — BASELINE.json configs 1-5
-        ("gaussian_5x5_1080p", lambda x: tpuimg.gaussian(x, 2, 1.5), img1080_f, PIX1080),
-        ("integral_4k", tpuimg.integral, img4k_u8, PIX4K),
-        ("hist_equalize_4k", tpuimg.hist_equalize, img4k_u8, PIX4K),
-        ("clahe_4k_8x8", lambda x: tpuimg.clahe(x, 40.0, 8, 8), img4k_u8, PIX4K),
-        ("guided_r8_4k", lambda x: tpuimg.guided_filter(x, x, 8, 1e-3), img4k_f, PIX4K),
+        # (name, fn, arg, pixels, iters) — BASELINE.json configs 1-5; iters
+        # sized so the measured loop dwarfs the ~25 ms fetch-latency noise
+        ("gaussian_5x5_1080p", lambda x: tpuimg.gaussian(x, 2, 1.5), img1080_f,
+         PIX1080, 400),
+        ("integral_4k", tpuimg.integral, img4k_u8, PIX4K, 100),
+        ("hist_equalize_4k", tpuimg.hist_equalize, img4k_u8, PIX4K, 100),
+        ("clahe_4k_8x8", lambda x: tpuimg.clahe(x, 40.0, 8, 8), img4k_u8,
+         PIX4K, 40),
+        ("guided_r8_4k", lambda x: tpuimg.guided_filter(x, x, 8, 1e-3),
+         img4k_f, PIX4K, 30),
         ("morph_31x31_4k_batch2", lambda x: tpuimg.dilate(tpuimg.erode(x, 15), 15),
-         batch4k_u8, 2 * 2 * PIX4K),
+         batch4k_u8, 2 * 2 * PIX4K, 30),
         ("enhance_pipeline_4k", lambda x: __import__(
-            "tpuimg.pipeline", fromlist=["enhance"]).enhance(x), img4k_u8, PIX4K),
+            "tpuimg.pipeline", fromlist=["enhance"]).enhance(x), img4k_u8,
+         PIX4K, 20),
     ]
 
     detail = {}
-    for name, fn, arg, pix in configs:
+    for name, fn, arg, pix, iters in configs:
         try:
-            r = time_scan_fn(fn, arg, iters=30, name=name, pixels=pix)
+            r = time_scan_fn(fn, arg, iters=iters, name=name, pixels=pix)
             detail[name] = {"ms": r.ms, "gpix_s": r.gpix_s}
             print(f"{name:24s} {r.ms:9.3f} ms  {r.gpix_s:8.2f} GPix/s", file=sys.stderr)
         except Exception as e:  # keep the headline alive if one config breaks

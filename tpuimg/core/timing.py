@@ -89,15 +89,18 @@ def time_scan_fn(fn, x, *, iters: int = 50, warmup_reps: int = 2, name: str = "o
         float(short(x))
         float(long_(x))
 
-    def measure(f):
+    def measure(f, tries=5):
         best = float("inf")
-        for _ in range(3):
+        for _ in range(tries):
             t0 = time.perf_counter()
             float(f(x))  # scalar fetch forces execution
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t1 = measure(short)
-    tn = measure(long_)
+    # interleave the two loop lengths so clock/queue drift cancels
+    t1 = tn = float("inf")
+    for _ in range(3):
+        t1 = min(t1, measure(short, tries=2))
+        tn = min(tn, measure(long_, tries=2))
     ms = max((tn - t1) / (iters - 1) * 1e3, 1e-6)
     return BenchResult(name=name, ms=ms, ms_min=ms, ms_mean=ms, pixels=pixels)
