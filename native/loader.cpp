@@ -140,17 +140,55 @@ bool decode_file(const char* path, int want, DecodedImage* out) {
   return ok;
 }
 
+bool read_dims_only(const char* path, int* w, int* h) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  uint8_t magic[2] = {0, 0};
+  if (fread(magic, 1, 2, f) != 2) {
+    fclose(f);
+    return false;
+  }
+  rewind(f);
+  bool ok = false;
+  if (magic[0] == 0x89 && magic[1] == 'P') {
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                             nullptr, nullptr);
+    png_infop info = png ? png_create_info_struct(png) : nullptr;
+    if (info && !setjmp(png_jmpbuf(png))) {
+      png_init_io(png, f);
+      png_read_info(png, info);
+      *w = png_get_image_width(png, info);
+      *h = png_get_image_height(png, info);
+      ok = true;
+    }
+    if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+  } else if (magic[0] == 0xFF && magic[1] == 0xD8) {
+    jpeg_decompress_struct cinfo;
+    JpegErr err;
+    cinfo.err = jpeg_std_error(&err.mgr);
+    err.mgr.error_exit = jpeg_err_exit;
+    if (!setjmp(err.jump)) {
+      jpeg_create_decompress(&cinfo);
+      jpeg_stdio_src(&cinfo, f);
+      jpeg_read_header(&cinfo, TRUE);
+      *w = cinfo.image_width;
+      *h = cinfo.image_height;
+      ok = true;
+    }
+    jpeg_destroy_decompress(&cinfo);
+  }
+  fclose(f);
+  return ok;
+}
+
 }  // namespace
 
 extern "C" {
 
-// Query dims: returns 0 on success.
+// Query dims (header-only parse, no pixel decode): returns 0 on success.
 int tpuimg_image_dims(const char* path, int want_channels, int* w, int* h) {
-  DecodedImage img;
-  if (!decode_file(path, want_channels, &img)) return -1;
-  *w = img.width;
-  *h = img.height;
-  return 0;
+  (void)want_channels;
+  return read_dims_only(path, w, h) ? 0 : -1;
 }
 
 // Decode into caller buffer of size w*h*want_channels; returns 0 on success.
@@ -196,11 +234,17 @@ int tpuimg_write_png(const char* path, const uint8_t* buf, int w, int h,
 // fixed slot size) ahead of the consumer through a bounded queue.
 // ---------------------------------------------------------------------------
 
+struct StreamItem {
+  size_t idx;
+  bool ok;
+  std::vector<uint8_t> data;
+};
+
 struct Stream {
   std::vector<std::string> paths;
   int want = 1, slot_w = 0, slot_h = 0;
   size_t next_submit = 0;
-  std::queue<std::pair<size_t, std::vector<uint8_t>>> ready;
+  std::queue<StreamItem> ready;
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
   size_t capacity = 4;
@@ -219,7 +263,8 @@ struct Stream {
       }
       DecodedImage img;
       std::vector<uint8_t> slot(size_t(slot_w) * slot_h * want, 0);
-      if (decode_file(paths[idx].c_str(), want, &img)) {
+      bool ok = decode_file(paths[idx].c_str(), want, &img);
+      if (ok) {
         // nearest-neighbor resize into the fixed slot (static shapes for XLA)
         for (int y = 0; y < slot_h; ++y) {
           int sy = std::min(int(int64_t(y) * img.height / slot_h),
@@ -236,7 +281,7 @@ struct Stream {
       std::unique_lock<std::mutex> g(mu);
       cv_space.wait(g, [&] { return ready.size() < capacity || stop; });
       if (stop) return;
-      ready.emplace(idx, std::move(slot));
+      ready.push(StreamItem{idx, ok, std::move(slot)});
       cv_ready.notify_one();
     }
   }
@@ -257,19 +302,22 @@ void* tpuimg_stream_open(const char** paths, int n, int want_channels,
 }
 
 // Blocks until the next decoded frame is available; copies it into buf.
-// Returns the frame index, or -1 when the stream is exhausted.
+// Returns the frame index, -1 when the stream is exhausted, or
+// -(index + 2) when that frame failed to decode (buf is untouched).
 long tpuimg_stream_next(void* handle, uint8_t* buf) {
   auto* s = static_cast<Stream*>(handle);
   std::unique_lock<std::mutex> g(s->mu);
   if (s->delivered >= s->paths.size()) return -1;
-  s->cv_ready.wait(g, [&] { return !s->ready.empty(); });
+  s->cv_ready.wait(g, [&] { return !s->ready.empty() || s->stop; });
+  if (s->stop) return -1;
   auto item = std::move(s->ready.front());
   s->ready.pop();
   s->delivered++;
   s->cv_space.notify_one();
   g.unlock();
-  memcpy(buf, item.second.data(), item.second.size());
-  return long(item.first);
+  if (!item.ok) return -long(item.idx) - 2;
+  memcpy(buf, item.data.data(), item.data.size());
+  return long(item.idx);
 }
 
 void tpuimg_stream_close(void* handle) {
@@ -279,6 +327,7 @@ void tpuimg_stream_close(void* handle) {
     s->stop = true;
   }
   s->cv_space.notify_all();
+  s->cv_ready.notify_all();
   for (auto& t : s->workers) t.join();
   delete s;
 }

@@ -60,3 +60,14 @@ def test_clahe_tile_hists_sum(rng):
 
     tw, th, _, _ = clahe_tile_geometry(90, 110, 8, 8)
     assert (hists.sum(axis=1) == tw * th).all()
+
+
+def test_hist_equalize_batched_per_frame(rng):
+    from tpuimg.oracle import hist_equalize_ref
+
+    dark = (rng.random((32, 32)) * 60).astype(np.uint8)
+    bright = (rng.random((32, 32)) * 60 + 190).astype(np.uint8)
+    batch = np.stack([dark, bright])
+    out = np.asarray(hist_equalize(batch))
+    np.testing.assert_array_equal(out[0], hist_equalize_ref(dark))
+    np.testing.assert_array_equal(out[1], hist_equalize_ref(bright))

@@ -55,3 +55,15 @@ def test_stream_resizes_to_slot(rng, tmp_path):
     with native.FrameStream([p], (32, 48), gray=True) as fs:
         frames = list(fs)
     assert frames[0][1].shape == (32, 48)
+
+
+def test_stream_raises_on_corrupt_frame(rng, tmp_path):
+    good = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    gp = str(tmp_path / "good.png")
+    native.write_png(gp, good)
+    bad = str(tmp_path / "bad.png")
+    with open(bad, "wb") as f:
+        f.write(b"\x89Pnot-really-a-png")
+    with pytest.raises(IOError, match="failed to decode"):
+        with native.FrameStream([gp, bad], (16, 24), gray=True, threads=1) as fs:
+            list(fs)

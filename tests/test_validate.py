@@ -46,3 +46,20 @@ def test_configs_validate():
 def test_configs_hashable_for_jit():
     assert hash(GaussianConfig()) == hash(GaussianConfig())
     assert GuidedConfig() == GuidedConfig()
+
+
+def test_clahe_batched_gives_typed_error():
+    with pytest.raises(ShapeError, match="vmap"):
+        tpuimg.clahe(np.zeros((2, 32, 32), np.uint8), 2.0, 4, 4)
+
+
+def test_clahe_vmap_works(rng):
+    import jax
+
+    from tpuimg.oracle import clahe_ref
+
+    imgs = rng.integers(0, 256, (2, 64, 64), dtype=np.uint8)
+    out = np.asarray(jax.vmap(lambda v: tpuimg.clahe(v, 2.0, 4, 4))(imgs))
+    for i in range(2):
+        ref = clahe_ref(imgs[i], 2.0, 4, 4)
+        assert np.abs(out[i].astype(int) - ref.astype(int)).max() <= 1

@@ -12,18 +12,15 @@ v = 16*hi + lo and turns both ops into tiny matmuls on one-hot factors:
   hist[16a+b]  = Σ_p (hi_p==a)(lo_p==b)          — (16,P)@(P,16) on the MXU
   table[v_p]   = oh_hi_p · T(16,16) · oh_lo_p    — two (·,16) contractions
 
-Exactness: one-hot factors are 0/1 (exact in bf16); each product row has a
-single nonzero, so LUT selection is exact in the table's dtype; histogram
-counts accumulate in f32 (exact below 2^24), chunked to stay exact for any
-image size, then cast to int32.
+Exactness: one-hot factors are 0/1 (exact in int8/bf16); each product row has
+a single nonzero, so LUT selection is exact in the table's dtype; histogram
+counts accumulate on the MXU in int32 (exact for any image size).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-
-_I16 = None
 
 
 def _iota16():

@@ -122,8 +122,10 @@ class FrameStream:
             buf = np.empty(shape, np.uint8)
             idx = self._lib.tpuimg_stream_next(
                 self._handle, buf.ctypes.data_as(ctypes.c_void_p))
-            if idx < 0:
+            if idx == -1:
                 return
+            if idx < -1:  # -(index + 2): that frame failed to decode
+                raise IOError(f"failed to decode frame {-idx - 2}")
             yield idx, buf
 
     def close(self):

@@ -30,15 +30,15 @@ from tpuimg.core.layout import cdiv
 from tpuimg.kernels.onehot import hist256, hist256_tiled, lut_apply, lut_apply4
 
 
-def bincount256(x, axis=None):
+def bincount256(x, per_leading: bool = False):
     """256-bin histogram(s) of a uint8 array.
 
-    axis=None reduces everything; otherwise ``x`` is reduced over all but the
-    leading dims and bins land in the last dim.
+    per_leading=False reduces everything; True keeps the leading dim and
+    reduces the rest (one histogram per leading index).
     """
-    if axis is None:
-        return hist256(x)
-    return hist256_tiled(x.reshape(x.shape[0], -1))
+    if per_leading:
+        return hist256_tiled(x.reshape(x.shape[0], -1))
+    return hist256(x)
 
 
 def apply_lut(table, img):
@@ -57,13 +57,28 @@ def hist_equalize(img, impl: str = "auto"):
     levels; see .claude/skills/verify/SKILL.md).
     """
     img = jnp.asarray(img, jnp.uint8)
+    if img.ndim > 2:
+        # per-frame semantics over leading batch dims (one histogram/LUT per
+        # image, like the reference's per-call behavior and
+        # parallel.hist_equalize_sharded)
+        lead = img.shape[:-2]
+        per_image = img.shape[-2] * img.shape[-1]
+        flat = img.reshape((-1,) + img.shape[-2:])
+        hists = hist256_tiled(flat)  # (B, 256)
+        cdfs = jnp.cumsum(hists, axis=-1).astype(jnp.float32)
+        factor = jnp.float32(256.0 / per_image)
+        tables = jnp.rint(
+            jnp.minimum(jnp.float32(255.0), cdfs * factor)
+        ).astype(jnp.uint8)
+        out = jax.vmap(lut_apply)(tables, flat)
+        return out.reshape(lead + img.shape[-2:])
     if impl == "auto":
         impl = "pallas" if jax.default_backend() != "cpu" else "xla"
     hist = hist256(img)  # one-hot MXU contraction (kernels/onehot.py)
     cdf = jnp.cumsum(hist).astype(jnp.float32)
     factor = jnp.float32(256.0 / img.size)
     table = jnp.rint(jnp.minimum(jnp.float32(255.0), cdf * factor)).astype(jnp.uint8)
-    if impl == "pallas" and img.ndim == 2:
+    if impl == "pallas":
         from tpuimg.kernels.lut import lut_gather
 
         return lut_gather(table, img)
@@ -128,6 +143,14 @@ def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
     impl="auto": the bilinear mapping runs as the lane-dynamic-gather Pallas
     kernel (kernels/lut.py) on TPU, or the one-hot einsum form on CPU."""
     img = jnp.asarray(img, jnp.uint8)
+    from tpuimg.core.validate import ShapeError, check_image
+
+    check_image(img, "img")
+    if img.ndim != 2:
+        raise ShapeError(
+            f"clahe operates on a single (H, W) image, got shape "
+            f"{tuple(img.shape)}; batch with jax.vmap(tpuimg.clahe)"
+        )
     h, w = img.shape[-2], img.shape[-1]
     tw, th = cdiv(w, xtiles), cdiv(h, ytiles)
     pad_left = (tw * xtiles - w) >> 1
