@@ -5,17 +5,19 @@ Reference: Integral/integral_d.cu — 4-kernel hierarchical carry pipeline
 carry broadcast :716-749, driver hIntegral :863-893), needed because CUDA
 thread blocks can't see each other's results within a launch.
 
-TPU redesign: a Pallas grid on one core executes *sequentially*, so the carry
-hierarchy collapses into two bandwidth-optimal passes:
+TPU redesign: a Pallas grid on one core executes *sequentially*, so the whole
+carry hierarchy collapses into ONE fused pass over row bands:
 
-- pass 1 (rows): independent row bands; in-VMEM cumsum along lanes.
-- pass 2 (cols): grid (col-strips × row-bands) with the row-band dimension
-  minor/sequential; a (1, strip) VMEM scratch carries the running column sum
-  across bands (reset when a new col-strip starts). This is the reference's
+- rows: per-128-lane-tile prefix sums as one bf16 triangular matmul on the
+  MXU (exact: u8 values are bf16-exact, the triangular operand is 0/1) plus
+  a tiny HIGHEST-precision cross-tile carry matmul;
+- columns: two-level in-band scan (3 masked roll-adds within 8-row segments
+  + a segment-total scan) in int32, with the running column carry held in a
+  (1, W) VMEM scratch across the sequential band grid — the reference's
   "scan of tile carries" at band radix, with zero extra HBM traffic.
 
-Total HBM traffic ≈ read u8 + write i32 + read i32 + write i32 — the
-speed-of-light for a 2-pass scan.
+Total HBM traffic = one u8 read + one i32 write — the speed-of-light for
+any integral-image computation.
 """
 
 from __future__ import annotations
@@ -27,12 +29,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuimg.core.layout import cdiv, pad_to_multiple
+from tpuimg.core.layout import pad_to_multiple
 from tpuimg.kernels import interpret_mode
 
 _ROW_BAND = 32   # u8 native sublane tiling
-_COL_BAND = 256  # pass-2 rows per step
-_COL_STRIP = 512  # pass-2 lanes per block
+_COL_BAND = 128  # fused-scan band rows
 
 
 def _scan_shift(x, axis: int):
@@ -52,71 +53,52 @@ def _scan_shift(x, axis: int):
     return x
 
 
-def _row_scan_kernel(x_ref, o_ref):
-    """Row (lane) scan: per-128-lane-tile prefix sums as one triangular
-    matmul on the MXU, then a tiny carry scan across tiles.
-
-    Exactness: the triangular operand is 0/1 (products exact under any bf16
-    split), in-tile sums ≤ 255·128 < 2^16 and carried totals ≤ 255·W < 2^24,
-    all exact in f32 accumulation; the final int32 cast is lossless.
-    """
-    rows, wp = o_ref.shape
-    nt = wp // 128
-    # Mosaic has no direct u8→f32 cast; go through int32
-    x = x_ref[:].astype(jnp.int32).astype(jnp.float32).reshape(rows * nt, 128)
-    # upper-triangular ones: cums[j] = Σ_{i<=j} x[i]
-    i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    U = (i <= j).astype(jnp.float32)
-    # u8 pixel values (≤255) are exactly representable in bf16, and U is 0/1,
-    # so a single bf16 pass is exact with f32 accumulation
-    intile = jax.lax.dot_general(
-        x, U, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(rows, nt, 128)
-    totals = intile[:, :, 127]  # (rows, nt)
-    # exclusive cross-tile carry: strictly-lower-triangular matmul over nt
-    a = jax.lax.broadcasted_iota(jnp.int32, (nt, nt), 0)
-    b = jax.lax.broadcasted_iota(jnp.int32, (nt, nt), 1)
-    L = (a < b).astype(jnp.float32)
-    # tile totals need ≤16 mantissa bits (≤255·128): exact selection needs
-    # multi-pass splitting; Mosaic only lowers DEFAULT and HIGHEST, and this
-    # matmul is tiny, so HIGHEST costs nothing
-    carry = jax.lax.dot_general(
-        totals, L, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    out = intile + carry[:, :, None]
-    o_ref[:] = out.reshape(rows, wp).astype(jnp.int32)
-
 
 _SEG = 8  # column-scan segment height
 
 
-def _col_scan_kernel(x_ref, o_ref, carry):
-    """Column (sublane) scan, two-level: 3 roll-steps within 8-row segments,
-    then a small scan of segment totals — int32 throughout (column totals
-    exceed 2^24, so no float detour is allowed here)."""
-    j = pl.program_id(1)
 
-    @pl.when(j == 0)
+def _fused_scan_kernel(x_ref, o_ref, carry):
+    """Full 2D scan in one HBM pass (see module docstring)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
     def _():
         carry[:] = jnp.zeros_like(carry)
 
-    rows, w = o_ref.shape
-    x = x_ref[:]
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    rows, wp = o_ref.shape
+    nt = wp // 128
+    x = x_ref[:].astype(jnp.int32).astype(jnp.float32).reshape(rows * nt, 128)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    U = (ii <= jj).astype(jnp.float32)
+    intile = jax.lax.dot_general(
+        x, U, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(rows, nt, 128)
+    totals = intile[:, :, 127]
+    a = jax.lax.broadcasted_iota(jnp.int32, (nt, nt), 0)
+    b = jax.lax.broadcasted_iota(jnp.int32, (nt, nt), 1)
+    L = (a < b).astype(jnp.float32)
+    tile_carry = jax.lax.dot_general(
+        totals, L, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    r = ((intile + tile_carry[:, :, None]).reshape(rows, wp)).astype(jnp.int32)
+
+    # in-band column scan (two-level) + cross-band carry
+    idx = jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
     for shift in (1, 2, 4):
-        rolled = pltpu.roll(x, shift, axis=0)
-        x = x + jnp.where(idx % _SEG >= shift, rolled, 0)
+        rolled = pltpu.roll(r, shift, axis=0)
+        r = r + jnp.where(idx % _SEG >= shift, rolled, 0)
     nseg = rows // _SEG
-    totals = x.reshape(nseg, _SEG, w)[:, _SEG - 1]  # (nseg, w)
-    seg_carry = _scan_shift(totals, axis=0) - totals  # exclusive
+    seg_tot = r.reshape(nseg, _SEG, wp)[:, _SEG - 1]
+    seg_carry = _scan_shift(seg_tot, axis=0) - seg_tot
     expanded = jnp.broadcast_to(
-        seg_carry[:, None, :], (nseg, _SEG, w)
-    ).reshape(rows, w)
-    s = x + expanded + carry[:]
+        seg_carry[:, None, :], (nseg, _SEG, wp)
+    ).reshape(rows, wp)
+    s = r + expanded + carry[:]
     o_ref[:] = s
     carry[:] = s[rows - 1 :, :]
 
@@ -126,34 +108,22 @@ def integral_pallas(img):
     """Inclusive 2D prefix sum of a (H, W) uint8/int image, int32."""
     if img.ndim != 2:
         return jax.vmap(integral_pallas)(img)
-    x, (h, w) = pad_to_multiple(jnp.asarray(img), _ROW_BAND, _COL_STRIP, mode="constant")
+    x, (h, w) = pad_to_multiple(jnp.asarray(img), _ROW_BAND, 128, mode="constant")
     hp, wp = x.shape
+    band = min(_COL_BAND, hp)
+    x, _ = pad_to_multiple(x, band, 128, mode="constant")
+    hp = x.shape[0]
 
-    rows = pl.pallas_call(
-        _row_scan_kernel,
-        grid=(hp // _ROW_BAND,),
+    out = pl.pallas_call(
+        _fused_scan_kernel,
+        grid=(hp // band,),
         in_specs=[
-            pl.BlockSpec((_ROW_BAND, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((band, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec(
-            (_ROW_BAND, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((band, wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, wp), jnp.int32)],
         interpret=interpret_mode(),
     )(x)
-
-    band = min(_COL_BAND, hp)
-    out = pl.pallas_call(
-        _col_scan_kernel,
-        grid=(wp // _COL_STRIP, cdiv(hp, band)),
-        in_specs=[
-            pl.BlockSpec((band, _COL_STRIP), lambda i, j: (j, i), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (band, _COL_STRIP), lambda i, j: (j, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, _COL_STRIP), jnp.int32)],
-        interpret=interpret_mode(),
-    )(rows)
     return out[:h, :w]
