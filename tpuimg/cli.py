@@ -340,12 +340,24 @@ def cmd_stream(args):
 
     t0 = time.perf_counter()
     n = 0
+    pending = None  # 1-deep pipeline: device computes frame i while the
+    # host encodes frame i-1 (JAX dispatch is async; np.asarray forces)
     with native.FrameStream(paths, (args.height, args.width), gray=True,
                             threads=args.threads) as fs:
         for idx, frame in fs:
-            out = np.asarray(fn(jnp.asarray(frame)))
-            name = os.path.basename(paths[idx])
-            native.write_png(os.path.join(args.out, name), out)
+            result = fn(jnp.asarray(frame))
+            if pending is not None:
+                pidx, pres = pending
+                native.write_png(
+                    os.path.join(args.out, os.path.basename(paths[pidx])),
+                    np.asarray(pres))
+                n += 1
+            pending = (idx, result)
+        if pending is not None:
+            pidx, pres = pending
+            native.write_png(
+                os.path.join(args.out, os.path.basename(paths[pidx])),
+                np.asarray(pres))
             n += 1
     dt = time.perf_counter() - t0
     print(f"processed {n} frames ({args.width}x{args.height}, op={args.op}) "
