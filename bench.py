@@ -5,10 +5,12 @@ GPix/s vs the reference's published 0.597 ms ≈ 13.9 GPix/s
 (Integral/readme.md:23, the only directly comparable number) — and writes
 all per-op results to BENCH_DETAIL.json (stderr carries the table).
 
-Timing is device-side scan amortization (tpuimg.core.timing.time_scan_fn):
-warm-up + N data-dependent iterations inside one jit, scalar fetch, latency
-cancelled by differencing two loop lengths — the TPU equivalent of the
-reference's GpuTimer + nrepeats discipline (SURVEY.md §4 pattern 4).
+Timing protocol (tpuimg.core.timing.time_stream_fn): a ring of distinct
+HBM-resident frames streamed through N data-independent iterations inside one
+jit, outputs forced to materialize, latency cancelled by differencing loop
+lengths, a third loop length cross-checking the fit, and a per-op HBM
+speed-of-light floor asserted — the honest TPU equivalent of the reference's
+GpuTimer + warm-up + nrepeats discipline (GaussianFilter/gaussian.cu:484-516).
 """
 
 from __future__ import annotations
@@ -27,9 +29,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 import tpuimg
-from tpuimg.core.timing import time_scan_fn
+from tpuimg.core.timing import sol_ms, time_stream_fn
 
 REF_INTEGRAL_GPIX_S = 2160 * 3840 / 0.597e-3 / 1e9  # 13.9, Integral/readme.md:23
+
+MB4K_U8 = 2160 * 3840          # one 4K u8 frame, bytes
+MB4K_F32 = 2160 * 3840 * 4
+MB1080_F32 = 1080 * 1920 * 4
 
 
 def main():
@@ -38,33 +44,43 @@ def main():
     img4k_u8 = jax.random.randint(k1, (2160, 3840), 0, 256, jnp.int32).astype(jnp.uint8)
     img4k_f = jax.random.uniform(k2, (2160, 3840), jnp.float32)
     img1080_f = jax.random.uniform(k3, (1080, 1920), jnp.float32)
-    batch4k_u8 = jnp.tile(img4k_u8[None], (2, 1, 1))
+    batch4k_u8 = jnp.stack([img4k_u8, img4k_u8[:, ::-1]])
     PIX4K, PIX1080 = 2160 * 3840, 1080 * 1920
 
+    # (name, fn, arg, pixels, iters, sol) — BASELINE.json configs 1-5.
+    # sol = minimal-algorithm HBM traffic / peak bandwidth: a hard floor any
+    # faster measurement is by definition a harness artifact.
     configs = [
-        # (name, fn, arg, pixels, iters) — BASELINE.json configs 1-5; iters
-        # sized so the measured loop dwarfs the ~25 ms fetch-latency noise
         ("gaussian_5x5_1080p", lambda x: tpuimg.gaussian(x, 2, 1.5), img1080_f,
-         PIX1080, 400),
-        ("integral_4k", tpuimg.integral, img4k_u8, PIX4K, 100),
-        ("hist_equalize_4k", tpuimg.hist_equalize, img4k_u8, PIX4K, 100),
+         PIX1080, 48, sol_ms(2 * MB1080_F32)),
+        ("integral_4k", tpuimg.integral, img4k_u8, PIX4K, 32,
+         sol_ms(MB4K_U8 + 4 * MB4K_U8)),
+        ("hist_equalize_4k", tpuimg.hist_equalize, img4k_u8, PIX4K, 32,
+         sol_ms(3 * MB4K_U8)),  # hist read + map read + map write
         ("clahe_4k_8x8", lambda x: tpuimg.clahe(x, 40.0, 8, 8), img4k_u8,
-         PIX4K, 40),
-        ("guided_r8_4k", lambda x: tpuimg.guided_filter(x, x, 8, 1e-3),
-         img4k_f, PIX4K, 30),
+         PIX4K, 24, sol_ms(3 * MB4K_U8)),
+        # fused-path semantics (reflect101, 1/ksz^2) — the reference's own 4K
+        # flagship demo (cudaSmallGuidedDemo -> hGuidedFilter,
+        # GuidedFilter/main.cpp:178-312)
+        ("guided_r8_4k",
+         lambda x: tpuimg.guided_filter(x, x, 8, 1e-3, border="reflect101"),
+         img4k_f, PIX4K, 16, sol_ms(2 * MB4K_F32)),  # I==p: one read + write
         ("morph_31x31_4k_batch2", lambda x: tpuimg.dilate(tpuimg.erode(x, 15), 15),
-         batch4k_u8, 2 * 2 * PIX4K, 30),
+         batch4k_u8, 2 * 2 * PIX4K, 16, sol_ms(2 * 4 * MB4K_U8)),
         ("enhance_pipeline_4k", lambda x: __import__(
             "tpuimg.pipeline", fromlist=["enhance"]).enhance(x), img4k_u8,
-         PIX4K, 20),
+         PIX4K, 12, sol_ms(3 * MB4K_U8 + 2 * MB4K_F32)),
     ]
 
     detail = {}
-    for name, fn, arg, pix, iters in configs:
+    for name, fn, arg, pix, iters, sol in configs:
         try:
-            r = time_scan_fn(fn, arg, iters=iters, name=name, pixels=pix)
-            detail[name] = {"ms": r.ms, "gpix_s": r.gpix_s}
-            print(f"{name:24s} {r.ms:9.3f} ms  {r.gpix_s:8.2f} GPix/s", file=sys.stderr)
+            r = time_stream_fn(fn, arg, iters=iters, name=name, pixels=pix,
+                               sol_ms=sol)
+            detail[name] = {"ms": r.ms, "gpix_s": r.gpix_s, "ms_alt": r.ms_alt,
+                            "sol_ms": sol}
+            print(f"{name:24s} {r.ms:9.3f} ms  {r.gpix_s:8.2f} GPix/s  "
+                  f"(alt {r.ms_alt:7.3f}, SoL {sol:6.3f})", file=sys.stderr)
         except Exception as e:  # keep the headline alive if one config breaks
             detail[name] = {"error": str(e)[:300]}
             print(f"{name:24s} ERROR {e}", file=sys.stderr)

@@ -1,7 +1,7 @@
 import sys, os, json; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 import tpuimg
-from tpuimg.core.timing import time_scan_fn
+from tpuimg.core.timing import time_stream_fn
 
 log = open("res_sweep.log", "a")
 def p(s):
@@ -22,7 +22,7 @@ for name, (h, w) in [("1080p", (1080, 1920)), ("4k", (2160, 3840)), ("8k", (4320
         ("erode_r15", lambda x: tpuimg.erode(x, 15), u8, 30),
     ]:
         try:
-            r = time_scan_fn(fn, arg, iters=iters, pixels=pix)
+            r = time_stream_fn(fn, arg, iters=iters, pixels=pix)
             res[op] = {"ms": round(r.ms, 4), "gpix_s": round(r.gpix_s, 2)}
             p(f"{name} {op}: {r.ms:.3f} ms {r.gpix_s:.2f} GPix/s")
         except Exception as e:

@@ -16,7 +16,7 @@ import contextlib
 
 import jax
 
-from tpuimg.core.timing import time_scan_fn
+from tpuimg.core.timing import time_stream_fn
 
 
 @contextlib.contextmanager
@@ -35,13 +35,15 @@ def stage_times(stages, x, iters: int = 20):
     chained entry shows what XLA fusion across stages buys.
     """
     results = {}
+    v = x
     for name, fn in stages:
-        results[name] = time_scan_fn(fn, x, iters=iters, name=name).ms
+        results[name] = time_stream_fn(fn, v, iters=iters, name=name).ms
+        v = jax.block_until_ready(fn(v))  # next stage times on real stage input
 
-    def chained(v):
+    def chained(u):
         for _, fn in stages:
-            v = fn(v)
-        return v
+            u = fn(u)
+        return u
 
-    results["chained"] = time_scan_fn(chained, x, iters=iters, name="chained").ms
+    results["chained"] = time_stream_fn(chained, x, iters=iters, name="chained").ms
     return results
