@@ -28,8 +28,10 @@ def test_gaussian_pallas(rng, radius, sigma):
     assert np.abs(out - gaussian_ref(img, radius, sigma)).max() < 1e-5
 
 
-@pytest.mark.parametrize("radius", [1, 2, 6])
+@pytest.mark.parametrize("radius", [1, 2, 6, 8, 15, 25, 31])
 def test_morph_pallas_exact(rng, radius):
+    # all radii run the ONE doubling-window engine (round 2): the reference's
+    # gMorphSplit/van Herk/Gil-Werman ladder collapsed (image_process.cu:465)
     img = rng.integers(0, 256, (75, 183), dtype=np.uint8)
     np.testing.assert_array_equal(
         np.asarray(erode(img, radius, impl="pallas")), erode_ref(img, radius)
@@ -39,13 +41,49 @@ def test_morph_pallas_exact(rng, radius):
     )
 
 
-@pytest.mark.parametrize("radius,eps", [(1, 0.3), (8, 1e-3)])
+def test_hist256_pallas_exact(rng):
+    from tpuimg.kernels.hist import hist256_groups_pallas, hist256_pallas
+
+    img = rng.integers(0, 256, (123, 517), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(hist256_pallas(img)),
+        np.bincount(img.ravel(), minlength=256),
+    )
+    groups = rng.integers(0, 256, (7, 1333), dtype=np.uint8)
+    got = np.asarray(hist256_groups_pallas(groups))
+    for t in range(7):
+        np.testing.assert_array_equal(
+            got[t], np.bincount(groups[t], minlength=256))
+
+
+def test_lut_gather_float_table_bit_exact(rng):
+    from tpuimg.kernels.lut import lut_gather
+
+    table = rng.random(256).astype(np.float32) * 255.0
+    img = rng.integers(0, 256, (40, 140), dtype=np.uint8)
+    np.testing.assert_array_equal(np.asarray(lut_gather(table, img)),
+                                  table[img])
+
+
+@pytest.mark.parametrize("radius,eps", [(1, 0.3), (7, 1e-3), (8, 1e-3)])
 def test_guided_pallas(rng, radius, eps):
     I = rng.random((64, 200), dtype=np.float32)
     p = np.clip(I + 0.1 * rng.standard_normal(I.shape), 0, 1).astype(np.float32)
     out = np.asarray(guided_filter(I, p, radius, eps, impl="pallas"))
     ref = guided_filter_ref(I, p, radius, eps, border="reflect101")
     assert np.abs(out - ref).max() < 1e-3
+
+
+def test_guided_pallas_variants_agree(rng):
+    # onepass (single kernel, halo recompute) vs twopass (reference's
+    # gCalcAB/gWeightByABm shape) must match to float noise
+    from tpuimg.kernels.boxsum import guided_filter_pallas
+
+    I = rng.random((48, 300), dtype=np.float32)
+    p = rng.random((48, 300), dtype=np.float32)
+    one = np.asarray(guided_filter_pallas(I, p, 8, 1e-3, variant="onepass"))
+    two = np.asarray(guided_filter_pallas(I, p, 8, 1e-3, variant="twopass"))
+    assert np.abs(one - two).max() < 1e-5
 
 
 def test_gaussian_pallas_batched(rng):

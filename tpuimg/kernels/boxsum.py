@@ -28,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpuimg.core.borders import REFLECT101, pad_mode
 from tpuimg.core.layout import round_up
 from tpuimg.kernels import interpret_mode
+from tpuimg.kernels.window import window_sum
 
 _MAX_STRIP = 2048  # output columns per strip
 
@@ -42,17 +43,14 @@ def _pick_band(h: int, wp: int) -> int:
 
 
 def _xsum(t, ksz, wout):
-    acc = t[:, 0:wout]
-    for k in range(1, ksz):
-        acc = acc + t[:, k : k + wout]
-    return acc
+    # log-depth doubling window sum (kernels/window.py): ~log2(ksz)+popcount
+    # adds per pixel instead of ksz-1 — keeps the fused path winning at the
+    # reference's full r1-7 ladder and beyond (guided_filter_d.cu:1047-1093)
+    return window_sum(t, ksz, wout, axis=1)
 
 
 def _ysum(t, ksz, rows):
-    acc = t[0:rows]
-    for k in range(1, ksz):
-        acc = acc + t[k : k + rows]
-    return acc
+    return window_sum(t, ksz, rows, axis=0)
 
 
 def _pad_rows_for_bands(x, r: int, band: int, hb: int, wp: int):
@@ -148,16 +146,103 @@ def _guided_strip(Iseg, pseg, r: int, eps: float):
     return q[:h, :w_out]
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "eps"))
-def guided_filter_pallas(I, p, radius: int, eps: float):
+def _guided_strip_onepass(Iseg, pseg, r: int, eps: float):
+    """Single-kernel fused guided filter on one x-halo'd strip.
+
+    Unlike the reference's two kernels (gCalcAB then gWeightByABm, with A and
+    B round-tripping through global memory), ONE band kernel reads I and P
+    with a 2r-row halo, computes a/b on the band+2r extent (recomputing the
+    halo rows' a/b — pure VPU work, zero extra HBM traffic), box-means them,
+    and writes q. HBM traffic = 2 reads + 1 write of the strip.
+
+    ``Iseg``/``pseg`` are (h, w_in) with w_in = w_out + 4r halo columns.
+    """
+    h, w_in = Iseg.shape
+    ksz = 2 * r + 1
+    coef = 1.0 / (ksz * ksz)
+    w_out = w_in - 4 * r
+    wout_l = round_up(w_out, 128)
+    wab_l = wout_l + 2 * r          # a/b x-extent (in-kernel slice, any width)
+    wp = round_up(wout_l + 4 * r, 128)  # >= w_in and >= wab_l + 2r
+    hb = round_up(2 * r, 8)  # row halo: pass A needs r, pass B needs r more
+    band = round_up(max(_pick_band(h, wp) * 2, hb), hb)
+    hp = round_up(h, band)
+
+    def concat3(top, cur, bot):
+        return jnp.concatenate(
+            [top[hb - 2 * r :], cur, bot[: 2 * r]], axis=0
+        )  # (band + 4r, wp)
+
+    def kernel(It, Ic_, Ib, Pt, Pc, Pb, q_ref):
+        Iv = concat3(It[:], Ic_[:], Ib[:])
+        Pv = concat3(Pt[:], Pc[:], Pb[:])
+        rows_ab = band + 2 * r
+
+        def mean(x):
+            return _ysum(_xsum(x, ksz, wab_l), ksz, rows_ab) * jnp.float32(coef)
+
+        imu = mean(Iv)
+        pmu = mean(Pv)
+        ipmu = mean(Iv * Pv)
+        iimu = mean(Iv * Iv)
+        a = (ipmu - pmu * imu) / (iimu - imu * imu + jnp.float32(eps))
+        b = pmu - a * imu
+        asum = _ysum(_xsum(a, ksz, wout_l), ksz, band)
+        bsum = _ysum(_xsum(b, ksz, wout_l), ksz, band)
+        Icen = Iv[2 * r : 2 * r + band, 2 * r : 2 * r + wout_l]
+        q_ref[:] = (asum * Icen + bsum) * jnp.float32(coef)
+
+    def pad_rows(x):
+        xr = jnp.pad(x, ((2 * r, 2 * r), (0, 0)), mode=pad_mode(REFLECT101))
+        return jnp.pad(
+            xr, ((band - 2 * r, hp - h - 2 * r + hb), (0, wp - x.shape[1])),
+            mode="edge")
+
+    bpr = band // hb
+    specs = [
+        pl.BlockSpec((hb, wp), lambda i: ((i + 1) * bpr - 1, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((band, wp), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hb, wp), lambda i: ((i + 2) * bpr, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    Ip_, Pp_ = pad_rows(Iseg), pad_rows(pseg)
+    q = pl.pallas_call(
+        kernel,
+        grid=(hp // band,),
+        in_specs=specs + specs,
+        out_specs=pl.BlockSpec((band, wout_l), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wout_l), jnp.float32),
+        interpret=interpret_mode(),
+    )(Ip_, Ip_, Ip_, Pp_, Pp_, Pp_)
+    return q[:h, :w_out]
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "eps", "variant"))
+def guided_filter_pallas(I, p, radius: int, eps: float,
+                         variant: str = "onepass"):
     """Fused guided filter, reflect-101 border, 1/ksz² normalization
-    (the reference hGuidedFilter fast path, guided_filter_d.cu:1047-1093)."""
+    (the reference hGuidedFilter fast path, guided_filter_d.cu:1047-1093).
+
+    variant="onepass" (default): single kernel, a/b recomputed in the row
+    halo — 2 reads + 1 write of HBM total. "twopass": the reference's
+    gCalcAB/gWeightByABm split with A, B round-tripping through HBM.
+    """
     if I.ndim != 2:
-        return jax.vmap(lambda a, b: guided_filter_pallas(a, b, radius, eps))(I, p)
+        if I.ndim == 3 and I.shape[0] <= 8:  # unroll beats vmap (sep_stencil)
+            return jnp.stack([
+                guided_filter_pallas(I[i], p[i], radius, eps, variant)
+                for i in range(I.shape[0])
+            ])
+        return jax.vmap(
+            lambda a, b: guided_filter_pallas(a, b, radius, eps, variant)
+        )(I, p)
     I = jnp.asarray(I, jnp.float32)
     p = jnp.asarray(p, jnp.float32)
     h, w = I.shape
     r = radius
+    strip_fn = _guided_strip_onepass if variant == "onepass" else _guided_strip
     # x halo once, at 2r depth (pass A consumes r, pass B consumes r more)
     Ix = jnp.pad(I, ((0, 0), (2 * r, 2 * r)), mode=pad_mode(REFLECT101))
     px = jnp.pad(p, ((0, 0), (2 * r, 2 * r)), mode=pad_mode(REFLECT101))
@@ -165,5 +250,5 @@ def guided_filter_pallas(I, p, radius: int, eps: float):
     for x0 in range(0, w, _MAX_STRIP):
         x1 = min(x0 + _MAX_STRIP, w)
         seg = slice(x0, x1 + 4 * r)  # in padded coords: [x0, x1 + 4r)
-        outs.append(_guided_strip(Ix[:, seg], px[:, seg], r, eps))
+        outs.append(strip_fn(Ix[:, seg], px[:, seg], r, eps))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)

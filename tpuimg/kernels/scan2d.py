@@ -16,8 +16,18 @@ carry hierarchy collapses into ONE fused pass over row bands:
   (1, W) VMEM scratch across the sequential band grid — the reference's
   "scan of tile carries" at band radix, with zero extra HBM traffic.
 
-Total HBM traffic = one u8 read + one i32 write — the speed-of-light for
-any integral-image computation.
+HBM traffic = one u8 read + one i32 write. Measured (honest streaming
+protocol, v5e 4K): 0.25 ms = 33 GPix/s = 2.4x the reference's CUDA pipeline
+(0.597 ms, Integral/readme.md:23). The kernel is VPU-bound, not
+bandwidth-bound: a pure read+convert+write kernel measures 0.034 ms, the row
+pass adds ~0.13 ms and the column pass ~0.09 ms
+(scripts/probes/integral_r2_probe.py). Tuned variants that did NOT help,
+measured round 2 — don't re-try without new evidence:
+- bf16 triangular-matmul operands instead of f32: no change (0.252 vs 0.247
+  — the cost is conversions/reshapes, not MXU passes);
+- 3D dot_general avoiding the (rows, wp)->(rows*nt, 128) reshape: no change
+  (0.250) — the reshape is vreg-granular and effectively free;
+- band 256 instead of 128: worse (0.283) — larger carries, same op count.
 """
 
 from __future__ import annotations
@@ -68,10 +78,13 @@ def _fused_scan_kernel(x_ref, o_ref, carry):
 
     rows, wp = o_ref.shape
     nt = wp // 128
-    x = x_ref[:].astype(jnp.int32).astype(jnp.float32).reshape(rows * nt, 128)
+    # bf16 operands (u8 values and the 0/1 triangular matrix are bf16-exact;
+    # accumulation is f32) — a native single-pass MXU matmul instead of the
+    # 3-pass f32 form
+    x = x_ref[:].astype(jnp.int32).astype(jnp.bfloat16).reshape(rows * nt, 128)
     ii = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    U = (ii <= jj).astype(jnp.float32)
+    U = (ii <= jj).astype(jnp.bfloat16)
     intile = jax.lax.dot_general(
         x, U, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

