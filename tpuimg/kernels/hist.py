@@ -1,0 +1,100 @@
+"""Pallas 256-bin histogram kernels: VMEM-resident one-hot contraction.
+
+Reference: gCalcHistUnroll8 (Histogram/image_process.cu:33-69) — smem-
+privatized atomicAdd histograms, the reference's most-tuned kernel family —
+and gCalcTileHistsUnroll (:208-239) for CLAHE per-tile histograms.
+
+TPU redesign: no atomics exist, so counting is a one-hot contraction
+(hist[16a+b] = Σ_p [hi_p==a][lo_p==b], kernels/onehot.py). Round 1 ran that
+as an XLA einsum, which materializes ~32 B/pixel of one-hot intermediates in
+HBM (~265 MB per 4K frame — 5% of peak bandwidth for HE). This kernel builds
+the one-hot factors *inside* the kernel in transposed (16, N) layout — pixels
+on lanes, nibble bins on sublanes, so the compare ops run at full VPU width —
+and contracts them on the MXU into a per-group (16, 16) int-exact count
+block. HBM traffic: the u8 pixels once in, 1 KB of counts per group out.
+
+Exactness: one-hot factors are 0/1 (bf16-exact); each group holds < 2^24
+pixels so f32 MXU accumulation is exact; cross-group summation is int32.
+
+One kernel body serves both consumers:
+- ``hist256_pallas(img)``      — global histogram (HE front end)
+- ``hist256_groups_pallas(x)`` — one histogram per leading group (CLAHE
+  tiles, batched per-frame HE)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuimg.core.layout import round_up
+from tpuimg.kernels import interpret_mode
+
+_ROWS = 32  # u8 sublane granularity; each grid step counts one (32, W) group
+
+
+def _hist_group_kernel(x_ref, o_ref):
+    x = x_ref[0].astype(jnp.int32)  # (32, W)
+    rows, w = x.shape
+    n = rows * w
+    # row-major flatten is vreg-granular (W is a multiple of 128)
+    hi = (x >> 4).reshape(1, n)
+    lo = (x & 15).reshape(1, n)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    ohh = (jnp.broadcast_to(hi, (16, n)) == bins).astype(jnp.bfloat16)
+    ohl = (jnp.broadcast_to(lo, (16, n)) == bins).astype(jnp.bfloat16)
+    part = jax.lax.dot_general(
+        ohh, ohl, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (16, 16): part[a, b] = #{p : pixel p == 16a + b}
+    o_ref[0] = jnp.concatenate(
+        [part, jnp.zeros((16, 112), jnp.float32)], axis=1
+    ).astype(jnp.int32)
+
+
+def _run_groups(xg):
+    """xg (G, 32, W) u8 -> (G, 256) int32 counts (zero-padding counted in
+    bin 0; callers correct for it)."""
+    g, rows, w = xg.shape
+    out = pl.pallas_call(
+        _hist_group_kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, rows, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, 16, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, 16, 128), jnp.int32),
+        interpret=interpret_mode(),
+    )(xg)
+    return out[:, :, :16].reshape(g, 256)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def hist256_pallas(img):
+    """Global 256-bin histogram of a u8 (H, W) image, int32, exact."""
+    h, w = img.shape
+    hp, wp = round_up(h, _ROWS), round_up(w, 128)
+    x = jnp.pad(img, ((0, hp - h), (0, wp - w)))
+    hists = _run_groups(x.reshape(hp // _ROWS, _ROWS, wp))
+    hist = jnp.sum(hists, axis=0)
+    return hist.at[0].add(h * w - hp * wp)  # undo the zero padding
+
+
+@functools.partial(jax.jit, static_argnames=())
+def hist256_groups_pallas(x):
+    """Per-group histograms: u8 (G, P) -> (G, 256) int32, exact.
+
+    Each row (group) is one histogram domain — a CLAHE tile's pixels
+    (flattened) or one frame of a batch.
+    """
+    g, p = x.shape
+    pp = round_up(p, _ROWS * 128)
+    x = jnp.pad(x, ((0, 0), (0, pp - p)))
+    hists = _run_groups(x.reshape(g, _ROWS, pp // _ROWS))
+    return hists.at[:, 0].add(p - pp)  # undo the zero padding

@@ -6,8 +6,10 @@ CLAHE chain gCalcTileHistsUnroll → gClipLimit → gCreateTable →
 gInterpolateMappingUnroll (:208-510) driven by Claher::run (clahe.cpp:26-104).
 
 TPU design divergences (SURVEY.md §2.2 "no atomics on TPU", §7 hard parts):
-- histograms and LUT applications use MXU one-hot nibble contractions
-  (kernels/onehot.py) — measured ~100x faster than XLA's gather lowering;
+- histograms are VMEM-resident Pallas one-hot contractions (kernels/hist.py;
+  no HBM one-hot spill — the XLA einsum form in kernels/onehot.py is the CPU
+  fallback) and LUT applications are lane dynamic-gathers (kernels/lut.py) —
+  measured ~100x faster than XLA's gather lowering;
 - clip/redistribute's serial residual loop (`hist[(i<<8)/residual] += 1`,
   image_process.cu:266) becomes a closed-form per-bin count;
 - the bilinear 4-LUT interpolation is decomposed into the ≤ xtiles·ytiles
@@ -28,6 +30,29 @@ import numpy as np
 
 from tpuimg.core.layout import cdiv
 from tpuimg.kernels.onehot import hist256, hist256_tiled, lut_apply, lut_apply4
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() != "cpu"
+
+
+def _hist_global(img):
+    """256-bin histogram: VMEM-resident Pallas kernel on TPU (no HBM one-hot
+    spill, kernels/hist.py), XLA one-hot einsum elsewhere."""
+    if _on_tpu():
+        from tpuimg.kernels.hist import hist256_pallas
+
+        return hist256_pallas(img)
+    return hist256(img)
+
+
+def _hist_groups(flat2d):
+    """(G, P) u8 -> (G, 256) per-group histograms; same dispatch."""
+    if _on_tpu():
+        from tpuimg.kernels.hist import hist256_groups_pallas
+
+        return hist256_groups_pallas(flat2d)
+    return hist256_tiled(flat2d)
 
 
 def bincount256(x, per_leading: bool = False):
@@ -56,7 +81,12 @@ def hist_equalize(img, impl: str = "auto"):
     implement the intended algorithm (matches cv::equalizeHist within 2 gray
     levels; see .claude/skills/verify/SKILL.md).
     """
-    img = jnp.asarray(img, jnp.uint8)
+    from tpuimg.core.validate import check_image
+
+    img = jnp.asarray(img)
+    # uint8 only: a silent jnp.asarray(img, uint8) would turn a [0,1] float
+    # image into near-zeros (round-1 advisor finding)
+    check_image(img, "img", dtypes=[jnp.uint8])
     if img.ndim > 2:
         # per-frame semantics over leading batch dims (one histogram/LUT per
         # image, like the reference's per-call behavior and
@@ -64,7 +94,7 @@ def hist_equalize(img, impl: str = "auto"):
         lead = img.shape[:-2]
         per_image = img.shape[-2] * img.shape[-1]
         flat = img.reshape((-1,) + img.shape[-2:])
-        hists = hist256_tiled(flat)  # (B, 256)
+        hists = _hist_groups(flat.reshape(flat.shape[0], -1))  # (B, 256)
         cdfs = jnp.cumsum(hists, axis=-1).astype(jnp.float32)
         factor = jnp.float32(256.0 / per_image)
         tables = jnp.rint(
@@ -73,8 +103,13 @@ def hist_equalize(img, impl: str = "auto"):
         out = jax.vmap(lut_apply)(tables, flat)
         return out.reshape(lead + img.shape[-2:])
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
-    hist = hist256(img)  # one-hot MXU contraction (kernels/onehot.py)
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl == "pallas":
+        from tpuimg.kernels.hist import hist256_pallas
+
+        hist = hist256_pallas(img)  # VMEM-resident (interpret-mode on CPU)
+    else:
+        hist = hist256(img)
     cdf = jnp.cumsum(hist).astype(jnp.float32)
     factor = jnp.float32(256.0 / img.size)
     table = jnp.rint(jnp.minimum(jnp.float32(255.0), cdf * factor)).astype(jnp.uint8)
@@ -174,7 +209,7 @@ def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
         [jnp.flip(ext[:, 1 : pad_left + 1], axis=1), ext,
          jnp.flip(ext[:, w - 1 - pad_right : w - 1], axis=1)], axis=1)
     tiles = ext.reshape(ytiles, th, xtiles, tw).transpose(0, 2, 1, 3)
-    hists = hist256_tiled(tiles.reshape(ytiles * xtiles, th, tw))
+    hists = _hist_groups(tiles.reshape(ytiles * xtiles, th * tw))
 
     # --- clip limit (clahe.cpp:87) + redistribute ---
     limit = int(tw * th * clip_limit / 256 + 0.5)
@@ -191,26 +226,26 @@ def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
     xruns = _tile_coord_runs(w, xtiles, tw, pad_left, use_recip=True)
 
     if impl == "pallas":
-        from tpuimg.kernels.lut import clahe_region_map
+        # one pallas_call per y-run with all x-regions resolved in-kernel
+        # (kernels/lut.py clahe_band_map): ytiles+1 launches per frame
+        # instead of (ytiles+1)*(xtiles+1)
+        from tpuimg.kernels.lut import clahe_band_map
 
         inv_tw = float(np.float32(1.0) / np.float32(tw))
+        xinfo = [(x0, x1, tx1) for x0, x1, tx1, _tx2, _ in xruns]
         bands = []
         for y0, y1, ty1, ty2, _ in yruns:
-            row_chunks = []
-            for x0, x1, tx1, tx2, _ in xruns:
-                tables4 = jnp.stack([
-                    tables[ty1 * xtiles + tx1],
-                    tables[ty1 * xtiles + tx2],
-                    tables[ty2 * xtiles + tx1],
-                    tables[ty2 * xtiles + tx2],
-                ])
-                row_chunks.append(clahe_region_map(
-                    img[y0:y1, x0:x1], tables4,
-                    y0=float(y0), x0=float(x0), pad_left=float(pad_left),
-                    inv_tw=inv_tw, tx1=float(tx1), pad_top=float(pad_top),
-                    th=float(th), ty1=float(ty1),
-                ))
-            bands.append(jnp.concatenate(row_chunks, axis=-1))
+            idx = []
+            for _x0, _x1, tx1, tx2, _ in xruns:
+                idx += [ty1 * xtiles + tx1, ty1 * xtiles + tx2,
+                        ty2 * xtiles + tx1, ty2 * xtiles + tx2]
+            bank = tables[jnp.asarray(idx, jnp.int32)].reshape(
+                len(xruns), 4, 256)
+            bands.append(clahe_band_map(
+                img[y0:y1], bank, xinfo, y0=float(y0),
+                pad_top=float(pad_top), th=float(th), ty1=float(ty1),
+                pad_left=float(pad_left), inv_tw=inv_tw,
+            ))
         return jnp.concatenate(bands, axis=-2)
 
     bands = []
