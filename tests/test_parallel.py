@@ -12,6 +12,8 @@ from tpuimg.core.borders import REFLECT101, REPLICATE
 from tpuimg.ops.gaussian import gaussian_ypadded
 from tpuimg.ops.morphology import morph_ypadded
 from tpuimg.parallel import (
+    clahe_sharded,
+    guided_filter_sharded,
     hist_equalize_sharded,
     integral_sharded,
     make_mesh,
@@ -55,6 +57,43 @@ def test_he_sharded_exact(rng, mesh):
     img = rng.integers(0, 256, (64, 72), dtype=np.uint8)
     out = np.asarray(jax.jit(hist_equalize_sharded(mesh))(shard_rows(mesh, img)))
     np.testing.assert_array_equal(out, np.asarray(hist_equalize(img)))
+
+
+def test_guided_sharded_matches_local(rng, mesh):
+    from tpuimg import guided_filter
+
+    I = rng.random((64, 96), dtype=np.float32)
+    p = rng.random((64, 96), dtype=np.float32)
+    for r in (2, 7):
+        op = guided_filter_sharded(mesh, r, 1e-3)
+        out = np.asarray(jax.jit(op)(shard_rows(mesh, I), shard_rows(mesh, p)))
+        ref = np.asarray(guided_filter(I, p, r, 1e-3, border=REFLECT101,
+                                       impl="xla"))
+        assert np.abs(out - ref).max() < 1e-5, r
+
+
+def test_clahe_sharded_matches_local(rng, mesh):
+    from tpuimg import clahe
+
+    # 64 rows over 4 sp shards = 16 rows/shard; tile rows th=8 align for
+    # 8x8 and NOT for 6x6 (th=11) — both must match the local op
+    img = rng.integers(0, 256, (64, 96), dtype=np.uint8)
+    for xt, yt, clip in [(8, 8, 2.0), (6, 6, 3.0), (4, 8, 40.0)]:
+        op = clahe_sharded(mesh, clip, xt, yt)
+        out = np.asarray(jax.jit(op)(shard_rows(mesh, img)))
+        ref = np.asarray(clahe(img, clip, xt, yt, impl="xla"))
+        d = np.abs(out.astype(int) - ref.astype(int)).max()
+        assert d <= 1, (xt, yt, clip, d)  # fma/ordering tolerance
+
+
+def test_halo_exchange_rejects_thin_shards(rng, mesh):
+    img = rng.random((16, 96), dtype=np.float32)  # 4 rows/shard < radius 6
+    op = stencil_sharded(
+        functools.partial(gaussian_ypadded, radius=6, sigma=2.0), 6,
+        REFLECT101, mesh,
+    )
+    with pytest.raises(ValueError, match="halo exchange"):
+        jax.jit(op)(shard_rows(mesh, img))
 
 
 def test_dryrun_multichip():

@@ -1,4 +1,6 @@
 from tpuimg.parallel.sharding import (
+    clahe_sharded,
+    guided_filter_sharded,
     hist_equalize_sharded,
     integral_sharded,
     make_mesh,
@@ -8,6 +10,7 @@ from tpuimg.parallel.sharding import (
 )
 
 __all__ = [
-    "hist_equalize_sharded", "integral_sharded", "make_mesh",
-    "shard_batch", "shard_rows", "stencil_sharded",
+    "clahe_sharded", "guided_filter_sharded", "hist_equalize_sharded",
+    "integral_sharded", "make_mesh", "shard_batch", "shard_rows",
+    "stencil_sharded",
 ]

@@ -7,14 +7,21 @@ The TPU-native scaling layer provides what the reference structurally hints at:
   already batch-polymorphic over leading dims, so DP is a sharding annotation
   and XLA does the rest.
 - **SP (spatial)**: one frame sharded by rows over an ``sp`` axis. Stencil ops
-  (gaussian, morphology, box/guided) need a radius-deep halo exchange with ICI
-  neighbors — ``shard_map`` + ``lax.ppermute``, the multi-chip generalization
-  of the reference's in-kernel smem halo staging (gGaussShare,
-  GaussianFilter/gaussian.cu:73-126). Scan ops (integral) need a cross-shard
-  carry — the same hierarchical carry decomposition the reference uses across
-  thread blocks (hIntegral, Integral/integral_d.cu:863-893) at chip radix:
-  local scan, exchange per-shard totals, add exclusive prefix.
-- Histogram ops need a global reduction (``psum`` of per-shard histograms).
+  (gaussian, morphology via ``stencil_sharded``; the guided filter via
+  ``guided_filter_sharded`` with its 2r reach) need a radius-deep halo
+  exchange with ICI neighbors — ``shard_map`` + ``lax.ppermute``, the
+  multi-chip generalization of the reference's in-kernel smem halo staging
+  (gGaussShare, GaussianFilter/gaussian.cu:73-126). Scan ops (integral) need
+  a cross-shard carry — the same hierarchical carry decomposition the
+  reference uses across thread blocks (hIntegral, Integral/integral_d.cu:
+  863-893) at chip radix: local scan, exchange per-shard totals, add
+  exclusive prefix.
+- Histogram ops need a global reduction (``psum`` of per-shard histograms):
+  ``hist_equalize_sharded`` (one 256-bin psum) and ``clahe_sharded``
+  (ytiles*xtiles partial tile hists psum'd, mapping shard-local).
+
+All five reference op families are covered; __graft_entry__.dryrun_multichip
+compiles and runs the full chain on an (data, sp) mesh.
 """
 
 from __future__ import annotations
@@ -62,8 +69,16 @@ def _halo_exchange(block, radius: int, n: int, axis_name: str, border: str):
     """Pad a row-shard with ``radius`` rows from its ICI neighbors.
 
     Outer shards fall back to the local border policy — equivalent to padding
-    the full image and then sharding, provided each shard holds ≥ radius rows.
+    the full image and then sharding, provided each shard holds ≥ radius rows
+    (checked: a thinner shard would need second-neighbor data and the single
+    ppermute would silently corrupt the result).
     """
+    if n > 1 and block.shape[-2] < radius:
+        raise ValueError(
+            f"row shard holds {block.shape[-2]} rows < radius {radius}: "
+            f"halo exchange needs every shard to cover the stencil reach "
+            f"(use fewer sp shards or a smaller radius)"
+        )
     pad_cfg = [(0, 0)] * (block.ndim - 2) + [(radius, radius), (0, 0)]
     local = jnp.pad(block, pad_cfg, mode=pad_mode(border))
     if n == 1:
@@ -132,6 +147,156 @@ def integral_sharded(mesh: Mesh):
             mask = (shard_ids < idx).astype(jnp.int32)[:, None]
             carry = jnp.sum(all_last * mask, axis=-2, keepdims=True)
             return local + carry
+
+        return inner(img)
+
+    return run
+
+
+def guided_filter_sharded(mesh: Mesh, radius: int, eps: float):
+    """Row-sharded guided filter (reflect-101 fused-path semantics).
+
+    The fused chain consumes a 2*radius halo: pass 1's windowed means of
+    P, I, I*P, I*I need ``radius`` rows and pass 2's box means of a, b need
+    ``radius`` more (the reference's gCalcAB + gWeightByABm reach,
+    GuidedFilter/guided_filter_d.cu:421-858). One ppermute halo exchange of
+    2r rows per input, then the whole chain runs shard-local.
+    """
+    from tpuimg.ops.guided import guided_ypadded
+
+    n_sp = mesh.shape["sp"]
+
+    def run(I, p):
+        spec = _spec(I.ndim)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=spec
+        )
+        def inner(Ib, pb):
+            Ip = _halo_exchange(Ib, 2 * radius, n_sp, "sp", "reflect101")
+            pp = _halo_exchange(pb, 2 * radius, n_sp, "sp", "reflect101")
+            return guided_ypadded(Ip, pp, radius, eps)
+
+        return inner(I, p)
+
+    return run
+
+
+def clahe_sharded(mesh: Mesh, clip_limit: float, xtiles: int, ytiles: int):
+    """Row-sharded CLAHE, exact vs the single-device op.
+
+    Tile histograms: every shard computes its rows' contributions to each of
+    the ytiles*xtiles tile histograms (including the centered reflect-101
+    extension rows, which shard 0 / n-1 own the sources of), then one
+    ``psum`` over ``sp`` merges them — the multi-chip generalization of the
+    reference's per-tile smem privatization + atomic merge
+    (Histogram/image_process.cu:208-239). Clip/redistribute/CDF (tiny,
+    256*T values) run replicated; the bilinear 4-LUT mapping is shard-local
+    with global row coordinates.
+    """
+    from tpuimg.core.layout import cdiv
+    from tpuimg.kernels.onehot import onehot_nibbles
+    from tpuimg.ops.histogram import _clip_redistribute
+
+    n_sp = mesh.shape["sp"]
+
+    def run(img):
+        if img.ndim != 2:
+            raise ValueError("clahe_sharded shards one (H, W) frame by rows")
+        h, w = img.shape
+        tw, th = cdiv(w, xtiles), cdiv(h, ytiles)
+        pad_left = (tw * xtiles - w) >> 1
+        pad_top = (th * ytiles - h) >> 1
+        pad_bot = th * ytiles - h - pad_top
+        pad_right = tw * xtiles - w - pad_left
+        hs = h // n_sp  # shard_map block rows
+        if hs * n_sp != h:
+            raise ValueError(f"H={h} must divide over sp={n_sp} shards")
+
+        def masked_hists_xsplit(rows_block, row_mask):
+            """(R, Wext) u8 + (R, 1) mask -> (xtiles, 256) int32 counts."""
+            t = rows_block.reshape(rows_block.shape[0], xtiles, tw)
+            t = jnp.moveaxis(t, 1, 0)  # (xtiles, R, tw)
+            oh_hi, oh_lo = onehot_nibbles(t, jnp.int8)
+            oh_hi = oh_hi * row_mask[None, :, :, None].astype(jnp.int8)
+            hx = jnp.einsum("xrwa,xrwb->xab", oh_hi, oh_lo,
+                            preferred_element_type=jnp.int32)
+            return hx.reshape(xtiles, 256)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=(P("sp", None),),
+            out_specs=P("sp", None),
+        )
+        def inner(block):
+            idx = jax.lax.axis_index("sp")
+            o = idx * hs  # global image row of local row 0
+
+            # --- local x extension (reflect-101, centered) ---
+            ext = jnp.concatenate(
+                [jnp.flip(block[:, 1 : pad_left + 1], axis=1), block,
+                 jnp.flip(block[:, w - 1 - pad_right : w - 1], axis=1)],
+                axis=1)  # (hs, xtiles*tw)
+
+            # --- partial tile hists: identity rows ---
+            gy = o + jnp.arange(hs)  # global rows of this block
+            hists = []
+            for k in range(ytiles):
+                lo_img = k * th - pad_top          # tile k's first image row
+                hi_img = lo_img + th               # one past last (pre-clip)
+                mask = ((gy >= lo_img) & (gy < hi_img))[:, None]
+                hists.append(masked_hists_xsplit(ext, mask))
+            hists = jnp.stack(hists)  # (ytiles, xtiles, 256)
+
+            # --- extension rows: top pad reflects image rows [1, pad_top],
+            # bottom pad reflects [h-1-pad_bot, h-1) — count them again into
+            # tile 0 / ytiles-1 (pads < th always, clahe() checks) ---
+            if pad_top > 0:
+                m = ((gy >= 1) & (gy <= pad_top))[:, None]
+                hists = hists.at[0].add(masked_hists_xsplit(ext, m))
+            if pad_bot > 0:
+                m = ((gy >= h - 1 - pad_bot) & (gy <= h - 2))[:, None]
+                hists = hists.at[ytiles - 1].add(masked_hists_xsplit(ext, m))
+
+            hists = jax.lax.psum(hists.reshape(ytiles * xtiles, 256), "sp")
+
+            # --- clip + redistribute + per-tile float LUTs (replicated) ---
+            limit = int(tw * th * clip_limit / 256 + 0.5)
+            hists = _clip_redistribute(hists, limit)
+            fr = jnp.float32(255.0 / (tw * th))
+            tables = jnp.cumsum(hists, axis=-1).astype(jnp.float32) * fr
+
+            # --- bilinear 4-LUT mapping, global y via dynamic ty per row ---
+            gyf = (o + jnp.arange(hs)).astype(jnp.float32)
+            tyf = (gyf + jnp.float32(pad_top)) / jnp.float32(th) \
+                - jnp.float32(0.5)
+            ty1 = jnp.trunc(tyf).astype(jnp.int32)
+            ty2 = jnp.minimum(ty1 + 1, ytiles - 1)
+            ya = (tyf - ty1.astype(jnp.float32))[:, None]
+            ya1 = jnp.float32(1.0) - ya
+
+            gxf = jnp.arange(w, dtype=jnp.float32)
+            inv_tw = jnp.float32(1.0) / jnp.float32(tw)
+            txf = (gxf + jnp.float32(pad_left)) * inv_tw - jnp.float32(0.5)
+            tx1 = jnp.trunc(txf).astype(jnp.int32)
+            tx2 = jnp.minimum(tx1 + 1, xtiles - 1)
+            xa = (txf - tx1.astype(jnp.float32))[None, :]
+            xa1 = jnp.float32(1.0) - xa
+
+            v = block.astype(jnp.int32)  # (hs, w)
+
+            def lut_at(tyr, txc):
+                # per-pixel table row (hs,1)/(1,w) -> gather (hs, w)
+                tid = tyr[:, None] * xtiles + txc[None, :]
+                flat = tid * 256 + v
+                return jnp.take(tables.reshape(-1), flat.reshape(-1),
+                                mode="clip").reshape(v.shape)
+
+            t11 = lut_at(ty1, tx1)
+            t12 = lut_at(ty1, tx2)
+            t21 = lut_at(ty2, tx1)
+            t22 = lut_at(ty2, tx2)
+            out = (t11 * xa1 + t12 * xa) * ya1 + (t21 * xa1 + t22 * xa) * ya
+            return jnp.clip(jnp.trunc(out), 0.0, 255.0).astype(jnp.uint8)
 
         return inner(img)
 
