@@ -67,7 +67,10 @@ bool decode_png(FILE* f, int want, DecodedImage* out) {
   if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
   png_set_strip_alpha(png);
   if (want == 1)
-    png_set_rgb_to_gray_fixed(png, 1, -1, -1);
+    // Rec.601 luma (0.299 R + 0.587 G + 0.114 B) to match the cv2-based
+    // utils.imread_gray path and libjpeg's JCS_GRAYSCALE; libpng's default
+    // (-1, -1) would use Rec.709 weights (round-1 advisor finding)
+    png_set_rgb_to_gray_fixed(png, 1, 29900, 58700);
   else if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
     png_set_gray_to_rgb(png);
   png_read_update_info(png, info);

@@ -48,6 +48,37 @@ def test_configs_hashable_for_jit():
     assert GuidedConfig() == GuidedConfig()
 
 
+def test_hist_equalize_rejects_float():
+    # round-1 advisor finding: a [0,1] float image silently coerced to u8
+    # became near-zeros; now a typed error
+    with pytest.raises(DTypeError, match="uint8"):
+        tpuimg.hist_equalize(np.random.rand(16, 16).astype(np.float32))
+
+
+def test_integral_rejects_float():
+    with pytest.raises(DTypeError, match="float"):
+        tpuimg.integral(np.zeros((8, 8), np.float32))
+
+
+def test_integral_wide_int_exact(rng):
+    # non-u8 integer input routes to the exact int32 XLA path under "auto"
+    img = rng.integers(0, 2**20, (33, 47)).astype(np.int32)
+    out = np.asarray(tpuimg.integral(img, impl="auto"))
+    ref = np.cumsum(np.cumsum(img.astype(np.int64), 1), 0)
+    np.testing.assert_array_equal(out, ref.astype(np.int32))
+
+
+def test_guided_shape_mismatch_rejected(rng):
+    with pytest.raises(ShapeError, match="spatial"):
+        tpuimg.guided_filter(np.zeros((16, 16), np.float32),
+                             np.zeros((16, 18), np.float32), 2, 1e-3)
+
+
+def test_morphology_rejects_radius_zero():
+    with pytest.raises(ParamError):
+        tpuimg.erode(np.zeros((8, 8), np.uint8), 0)
+
+
 def test_clahe_batched_gives_typed_error():
     with pytest.raises(ShapeError, match="vmap"):
         tpuimg.clahe(np.zeros((2, 32, 32), np.uint8), 2.0, 4, 4)

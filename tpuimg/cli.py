@@ -30,9 +30,9 @@ def _maxdiff(a, b):
 
 
 def _time(fn, arg, nreps, pixels):
-    from tpuimg.core.timing import time_scan_fn
+    from tpuimg.core.timing import time_stream_fn
 
-    return time_scan_fn(fn, arg, iters=max(2, nreps), pixels=pixels)
+    return time_stream_fn(fn, arg, iters=max(8, min(nreps, 64)), pixels=pixels)
 
 
 def _report(name, ms, gpix, diff, tol):
@@ -67,16 +67,19 @@ def cmd_gaussian(args):
     from tpuimg.oracle import gaussian_ref
     from tpuimg.utils import imwrite
 
+    from tpuimg.core.params import GaussianConfig
+
     img = _load_or_random(args.src, args.width, args.height, np.float32)
     h, w = img.shape
     ref = gaussian_ref(img, args.radius, args.sigma)
     x = jnp.asarray(img)
     ok = True
     for impl in ("xla", "pallas"):
-        fn = lambda v: tpuimg.gaussian(v, args.radius, args.sigma, impl=impl)
+        cfg = GaussianConfig(radius=args.radius, sigma=args.sigma, impl=impl)
+        fn = lambda v: tpuimg.gaussian(v, cfg.radius, cfg.sigma, impl=cfg.impl)
         out = np.asarray(fn(x))
         r = _time(fn, x, args.nreps, h * w)
-        ok &= _report(f"gaussian[{impl}] r={args.radius}", r.ms, r.gpix_s,
+        ok &= _report(f"gaussian[{impl}] r={cfg.radius}", r.ms, r.gpix_s,
                       _maxdiff(out, ref), 1e-4)
         if args.src:
             imwrite(_out_path(args.src, f"gauss_{impl}"),
@@ -146,6 +149,10 @@ def cmd_clahe(args):
     from tpuimg.oracle import clahe_ref
     from tpuimg.utils import imread_gray, imread_rgb, imwrite
 
+    from tpuimg.core.params import ClaheConfig
+
+    cfg = ClaheConfig(clip_limit=args.clip, xtiles=args.xtiles,
+                      ytiles=args.ytiles)
     try:
         rgb = imread_rgb(args.image)
         color = rgb.ndim == 3
@@ -170,7 +177,7 @@ def cmd_clahe(args):
 
     ref = clahe_ref(L_np, args.clip, args.xtiles, args.ytiles)
     got = np.asarray(tpuimg.clahe(L_np, args.clip, args.xtiles, args.ytiles))
-    fn = lambda v: tpuimg.clahe(v, args.clip, args.xtiles, args.ytiles)
+    fn = lambda v: tpuimg.clahe(v, cfg.clip_limit, cfg.xtiles, cfg.ytiles)
     r = _time(fn, jnp.asarray(L_np), args.nreps, L_np.size)
     return _report("clahe", r.ms, r.gpix_s, _maxdiff(got, ref), 1)
 
@@ -187,16 +194,19 @@ def cmd_guided(args):
                             np.float32)
     ref = guided_filter_ref(guide, src, args.radius, args.eps,
                             border="reflect101")
+    from tpuimg.core.params import GuidedConfig
+
     I, p = jnp.asarray(guide), jnp.asarray(src)
     ok = True
     for impl in ("xla", "pallas"):
-        border = "reflect101"
-        out = np.asarray(tpuimg.guided_filter(I, p, args.radius, args.eps,
-                                              border=border, impl=impl))
-        fn = lambda v: tpuimg.guided_filter(v, p, args.radius, args.eps,
-                                            border=border, impl=impl)
+        cfg = GuidedConfig(radius=args.radius, eps=args.eps,
+                           border="reflect101", impl=impl)
+        out = np.asarray(tpuimg.guided_filter(I, p, cfg.radius, cfg.eps,
+                                              border=cfg.border, impl=cfg.impl))
+        fn = lambda v: tpuimg.guided_filter(v, p, cfg.radius, cfg.eps,
+                                            border=cfg.border, impl=cfg.impl)
         r = _time(fn, I, args.nreps, src.size)
-        ok &= _report(f"guided[{impl}] r={args.radius}", r.ms, r.gpix_s,
+        ok &= _report(f"guided[{impl}] r={cfg.radius}", r.ms, r.gpix_s,
                       _maxdiff(out, ref), 1e-3)
         if args.src:
             imwrite(_out_path(args.src, f"guided_{impl}"),
@@ -217,7 +227,10 @@ def cmd_morphology(args):
         "open": (lambda v, r, impl="xla": tpuimg.morph_open(v, r), open_ref),
         "close": (lambda v, r, impl="xla": tpuimg.morph_close(v, r), close_ref),
     }
-    name = args.op if args.op else ("erode" if args.mode == 0 else "dilate")
+    from tpuimg.core.params import MorphConfig
+
+    cfg = MorphConfig(radius=args.radius, mode=args.mode)
+    name = args.op if args.op else ("erode" if cfg.mode == 0 else "dilate")
     op, ref_fn = ops[name]
 
     if args.color != "gray" and args.src:
@@ -241,16 +254,16 @@ def cmd_morphology(args):
         return True
 
     img = _load_or_random(args.src, args.width, args.height, np.uint8)
-    ref = ref_fn(img, args.radius)
+    ref = ref_fn(img, cfg.radius)
     x = jnp.asarray(img)
     ok = True
-    impls = ("xla", "pallas") if args.radius <= 6 and name in ("erode", "dilate") \
-        else ("xla",)
+    # the doubling-window Pallas engine covers every radius (round 2)
+    impls = ("xla", "pallas") if name in ("erode", "dilate") else ("xla",)
     for impl in impls:
-        fn = lambda v: op(v, args.radius, impl=impl)
+        fn = lambda v: op(v, cfg.radius, impl=impl)
         out = np.asarray(fn(x))
         r = _time(fn, x, args.nreps, img.size)
-        ok &= _report(f"morph[{impl}] {name} r={args.radius}",
+        ok &= _report(f"morph[{impl}] {name} r={cfg.radius}",
                       r.ms, r.gpix_s, _maxdiff(out, ref), 0)
         if args.src:
             imwrite(_out_path(args.src, f"morph_{impl}_{name}"), out)
@@ -275,7 +288,8 @@ def cmd_sweep(args):
         if args.op == "gaussian":
             fn, arg = (lambda v, r=r: tpuimg.gaussian(v, r, 1.0)), img_f
         elif args.op == "guided":
-            fn, arg = (lambda v, r=r: tpuimg.guided_filter(v, v, r, 0.3)), img_f
+            fn, arg = (lambda v, r=r: tpuimg.guided_filter(
+                v, v, r, 0.3, border="reflect101")), img_f
         else:
             fn, arg = (lambda v, r=r: tpuimg.erode(v, r)), img_u
         t = _time(fn, arg, args.nreps, args.width * args.height)
@@ -331,10 +345,12 @@ def cmd_stream(args):
         "clahe": lambda x: tpuimg.clahe(x, args.clip, 8, 8),
         "he": tpuimg.hist_equalize,
         "erode": lambda x: tpuimg.erode(x, args.radius),
-        "gaussian": lambda x: (
-            tpuimg.gaussian(x.astype(jnp.float32) / 255.0, args.radius, 1.5)
-            * 255.0
-        ).astype(jnp.uint8),
+        "gaussian": lambda x: jnp.clip(
+            jnp.rint(
+                tpuimg.gaussian(x.astype(jnp.float32) / 255.0, args.radius, 1.5)
+                * 255.0
+            ), 0, 255,
+        ).astype(jnp.uint8),  # rint+clip: the library's float->u8 convention
     }
     fn = ops[args.op]
 
@@ -455,8 +471,19 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    _device_banner()
     ok = args.fn(args)
     return 0 if ok else 1
+
+
+def _device_banner():
+    """Report the device before running (the reference's initDevice,
+    Integral/cuda_utils.h:94-120)."""
+    import jax
+
+    devs = jax.devices()
+    print(f"tpuimg: backend={jax.default_backend()} devices={len(devs)} "
+          f"[{devs[0].device_kind}]", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -27,11 +27,25 @@ def integral(img, impl: str = "auto"):
     impl="auto" picks the Pallas banded scan on TPU (measured 0.21 ms at 4K
     on v5e vs 0.25 ms for the XLA cumsum form) and XLA elsewhere.
     """
-    from tpuimg.core.validate import check_image
+    from tpuimg.core.validate import DTypeError, check_image
 
     check_image(img, "img")
+    img = jnp.asarray(img)
+    if jnp.issubdtype(img.dtype, jnp.floating):
+        raise DTypeError(
+            f"integral is the reference's uint8 -> int32 prefix sum "
+            f"(Integral/integral_d.h:6); got float dtype {img.dtype} — "
+            f"use jnp.cumsum directly for float integrals"
+        )
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        # the Pallas scan's row pass is exact for uint8 only (bf16-exact
+        # values, f32 accumulation < 2^24); wider ints take the exact
+        # int32 XLA path so the precision contract can't silently break
+        impl = (
+            "pallas"
+            if jax.default_backend() not in ("cpu",) and img.dtype == jnp.uint8
+            else "xla"
+        )
     if impl == "pallas":
         from tpuimg.kernels.scan2d import integral_pallas
 

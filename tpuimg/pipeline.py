@@ -39,5 +39,7 @@ def enhance(
     eq = clahe(img, clip_limit, tiles, tiles)
     f = eq.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     smooth = gaussian(f, radius, sigma)
-    out = guided_filter(f, smooth, gf_radius, gf_eps)
+    # fused-path border semantics (reflect101 + 1/ksz^2) — the reference's
+    # own 4K guided demo and the Pallas one-pass kernel's native form
+    out = guided_filter(f, smooth, gf_radius, gf_eps, border="reflect101")
     return jnp.clip(jnp.rint(out * 255.0), 0.0, 255.0).astype(jnp.uint8)
