@@ -2,7 +2,7 @@ import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspa
 import numpy as np
 import jax, jax.numpy as jnp
 import tpuimg
-from tpuimg.core.timing import time_scan_fn
+from tpuimg.core.timing import time_stream_fn
 from tpuimg.kernels.onehot import onehot_nibbles
 from tpuimg.core.layout import cdiv
 from tpuimg.ops.histogram import _clip_redistribute, _tile_coord_runs, hist256_tiled
@@ -62,8 +62,8 @@ cf = jax.jit(clahe_fused, static_argnames=("clip_limit","xtiles","ytiles"))
 sm = jax.random.randint(key, (541, 733), 0, 256, jnp.int32).astype(jnp.uint8)
 from tpuimg.oracle import clahe_ref
 p(f"fused-table maxdiff vs oracle: {np.abs(np.asarray(cf(sm, 2.0, 8, 8)).astype(int) - clahe_ref(np.asarray(sm), 2.0, 8, 8).astype(int)).max()}")
-r = time_scan_fn(lambda x: cf(x, 40.0, 8, 8), img, iters=25, pixels=PIX)
+r = time_stream_fn(lambda x: cf(x, 40.0, 8, 8), img, iters=25, pixels=PIX)
 p(f"clahe fused-table HIGHEST: {r.ms:.3f} ms {r.gpix_s:.2f} GPix/s")
-r = time_scan_fn(lambda x: tpuimg.clahe(x, 40.0, 8, 8), img, iters=25, pixels=PIX)
+r = time_stream_fn(lambda x: tpuimg.clahe(x, 40.0, 8, 8), img, iters=25, pixels=PIX)
 p(f"clahe current:             {r.ms:.3f} ms {r.gpix_s:.2f} GPix/s")
 p("DONE")

@@ -3,7 +3,7 @@ import numpy as np
 import jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from tpuimg.core.timing import time_scan_fn
+from tpuimg.core.timing import time_stream_fn
 
 log = open("gather_probe2.log", "a")
 def p(s):
@@ -20,7 +20,7 @@ def xla_taa(x):
     idx = x.astype(jnp.int32)
     return jnp.take_along_axis(tabW, idx, axis=0)
 try:
-    r = time_scan_fn(jax.jit(lambda x: xla_taa(x).astype(jnp.uint8)), img, iters=20, pixels=PIX)
+    r = time_stream_fn(jax.jit(lambda x: xla_taa(x).astype(jnp.uint8)), img, iters=20, pixels=PIX)
     p(f"XLA take_along_axis (256,W)->(H,W): {r.ms:.3f} ms {r.gpix_s:.2f} GPix/s")
 except Exception as e:
     p(f"XLA taa FAIL {str(e)[:150]}")
@@ -41,7 +41,7 @@ try:
     out = pallas_taa(img)
     ref = xla_taa(img)
     p(f"pallas taa correct: {bool(jnp.all(out == ref))}")
-    r = time_scan_fn(jax.jit(lambda x: pallas_taa(x).astype(jnp.uint8)), img, iters=20, pixels=PIX)
+    r = time_stream_fn(jax.jit(lambda x: pallas_taa(x).astype(jnp.uint8)), img, iters=20, pixels=PIX)
     p(f"pallas taa: {r.ms:.3f} ms {r.gpix_s:.2f} GPix/s")
 except Exception as e:
     p(f"pallas taa FAIL {type(e).__name__} {str(e)[:200]}")

@@ -3,7 +3,7 @@ import numpy as np
 import jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from tpuimg.core.timing import time_scan_fn
+from tpuimg.core.timing import time_stream_fn
 
 log = open("gather_probe3.log", "a")
 def p(s):
@@ -45,7 +45,7 @@ def lutg(x):
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
     )(tab, x)
 try:
-    r = time_scan_fn(jax.jit(lambda x: lutg(x).astype(jnp.uint8)), imgH, iters=25, pixels=H*W)
+    r = time_stream_fn(jax.jit(lambda x: lutg(x).astype(jnp.uint8)), imgH, iters=25, pixels=H*W)
     p(f"pallas dynamic_gather LUT 4k: {r.ms:.3f} ms {H*W/(r.ms*1e-3)/1e9:.2f} GPix/s")
 except Exception as e:
     p(f"timing FAIL {type(e).__name__} {str(e)[:160]}")

@@ -3,7 +3,7 @@ import functools
 import numpy as np
 import jax, jax.numpy as jnp
 import tpuimg
-from tpuimg.core.timing import time_scan_fn
+from tpuimg.core.timing import time_stream_fn
 from tpuimg.core.borders import pad_mode
 
 log = open("guided_probe.log", "a")
@@ -38,13 +38,13 @@ def guided_direct(I, pp, radius, eps):
     return box(a)*I + box(b)
 
 for r in (4, 8):
-    t = time_scan_fn(lambda x, r=r: tpuimg.guided_filter(x, x, r, 1e-3, border="reflect101"), img, iters=25, pixels=PIX)
+    t = time_stream_fn(lambda x, r=r: tpuimg.guided_filter(x, x, r, 1e-3, border="reflect101"), img, iters=25, pixels=PIX)
     p(f"guided r{r} cumsum-diff: {t.ms:.3f} ms {t.gpix_s:.2f}")
-    t = time_scan_fn(jax.jit(lambda x, r=r: guided_direct(x, x, r, 1e-3)), img, iters=25, pixels=PIX)
+    t = time_stream_fn(jax.jit(lambda x, r=r: guided_direct(x, x, r, 1e-3)), img, iters=25, pixels=PIX)
     p(f"guided r{r} shift-add:   {t.ms:.3f} ms {t.gpix_s:.2f}")
 # box filter alone both ways
-t = time_scan_fn(jax.jit(lambda x: box_direct(x, 8)), img, iters=25, pixels=PIX)
+t = time_stream_fn(jax.jit(lambda x: box_direct(x, 8)), img, iters=25, pixels=PIX)
 p(f"box r8 shift-add: {t.ms:.3f} ms {t.gpix_s:.2f}")
-t = time_scan_fn(lambda x: tpuimg.box_filter(x, 8, border="reflect101"), img, iters=25, pixels=PIX)
+t = time_stream_fn(lambda x: tpuimg.box_filter(x, 8, border="reflect101"), img, iters=25, pixels=PIX)
 p(f"box r8 cumsum:    {t.ms:.3f} ms {t.gpix_s:.2f}")
 p("DONE")

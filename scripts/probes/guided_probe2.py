@@ -3,7 +3,7 @@ import functools
 import numpy as np
 import jax, jax.numpy as jnp
 import tpuimg
-from tpuimg.core.timing import time_scan_fn
+from tpuimg.core.timing import time_stream_fn
 from tpuimg.ops.guided import _window_sum
 from tpuimg.oracle import guided_filter_ref
 
@@ -33,8 +33,8 @@ g = jax.jit(functools.partial(guided_stacked, radius=8, eps=1e-3))
 sm = jax.random.uniform(key, (300, 400), jnp.float32)
 ref = guided_filter_ref(np.asarray(sm), np.asarray(sm), 8, 1e-3, border="reflect101")
 p(f"stacked maxdiff: {np.abs(np.asarray(g(sm, sm))-ref).max():.2e}")
-r = time_scan_fn(lambda x: g(x, x), img, iters=30, pixels=PIX)
+r = time_stream_fn(lambda x: g(x, x), img, iters=30, pixels=PIX)
 p(f"guided r8 stacked: {r.ms:.3f} ms {r.gpix_s:.2f}")
-r = time_scan_fn(lambda x: tpuimg.guided_filter(x, x, 8, 1e-3, border="reflect101"), img, iters=30, pixels=PIX)
+r = time_stream_fn(lambda x: tpuimg.guided_filter(x, x, 8, 1e-3, border="reflect101"), img, iters=30, pixels=PIX)
 p(f"guided r8 current: {r.ms:.3f} ms {r.gpix_s:.2f}")
 p("DONE")

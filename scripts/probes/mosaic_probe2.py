@@ -2,7 +2,7 @@ import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspa
 import numpy as np
 import jax, jax.numpy as jnp
 import tpuimg
-from tpuimg.core.timing import time_scan_fn
+from tpuimg.core.timing import time_stream_fn
 
 log = open("mosaic_probe2.log", "a")
 def p(s):
@@ -14,12 +14,12 @@ img_f = jax.random.uniform(key, (2160, 3840), jnp.float32)
 PIX = 2160*3840
 
 cases = [
-  ("gauss r1 pallas 4k", lambda: time_scan_fn(lambda x: tpuimg.gaussian(x, 1, 1.0, impl="pallas"), img_f, iters=30, pixels=PIX)),
-  ("gauss r7 pallas 4k", lambda: time_scan_fn(lambda x: tpuimg.gaussian(x, 7, 3.0, impl="pallas"), img_f, iters=30, pixels=PIX)),
-  ("erode r2 pallas 4k", lambda: time_scan_fn(lambda x: tpuimg.erode(x, 2, impl="pallas"), img_u8, iters=30, pixels=PIX)),
-  ("erode r6 pallas 4k", lambda: time_scan_fn(lambda x: tpuimg.erode(x, 6, impl="pallas"), img_u8, iters=30, pixels=PIX)),
-  ("guided r8 pallas 4k", lambda: time_scan_fn(lambda x: tpuimg.guided_filter(x, x, 8, 1e-3, impl="pallas"), img_f, iters=30, pixels=PIX)),
-  ("guided r4 pallas 4k", lambda: time_scan_fn(lambda x: tpuimg.guided_filter(x, x, 4, 1e-3, impl="pallas"), img_f, iters=30, pixels=PIX)),
+  ("gauss r1 pallas 4k", lambda: time_stream_fn(lambda x: tpuimg.gaussian(x, 1, 1.0, impl="pallas"), img_f, iters=30, pixels=PIX)),
+  ("gauss r7 pallas 4k", lambda: time_stream_fn(lambda x: tpuimg.gaussian(x, 7, 3.0, impl="pallas"), img_f, iters=30, pixels=PIX)),
+  ("erode r2 pallas 4k", lambda: time_stream_fn(lambda x: tpuimg.erode(x, 2, impl="pallas"), img_u8, iters=30, pixels=PIX)),
+  ("erode r6 pallas 4k", lambda: time_stream_fn(lambda x: tpuimg.erode(x, 6, impl="pallas"), img_u8, iters=30, pixels=PIX)),
+  ("guided r8 pallas 4k", lambda: time_stream_fn(lambda x: tpuimg.guided_filter(x, x, 8, 1e-3, impl="pallas"), img_f, iters=30, pixels=PIX)),
+  ("guided r4 pallas 4k", lambda: time_stream_fn(lambda x: tpuimg.guided_filter(x, x, 4, 1e-3, impl="pallas"), img_f, iters=30, pixels=PIX)),
 ]
 for name, run in cases:
     try:

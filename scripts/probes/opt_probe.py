@@ -2,7 +2,7 @@ import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspa
 import numpy as np
 import jax, jax.numpy as jnp
 import tpuimg
-from tpuimg.core.timing import time_scan_fn
+from tpuimg.core.timing import time_stream_fn
 from tpuimg.kernels.onehot import hist256, hist256_tiled, lut_apply
 
 log = open("opt_probe.log", "a")
@@ -16,7 +16,7 @@ table = jnp.arange(256, dtype=jnp.uint8)[::-1]
 
 def t(name, fn, arg=img, iters=20):
     try:
-        r = time_scan_fn(fn, arg, iters=iters, pixels=PIX)
+        r = time_stream_fn(fn, arg, iters=iters, pixels=PIX)
         p(f"{name}: {r.ms:.3f} ms {r.gpix_s:.2f} GPix/s")
         return r.ms
     except Exception as e:

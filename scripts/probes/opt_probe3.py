@@ -2,7 +2,7 @@ import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspa
 import numpy as np
 import jax, jax.numpy as jnp
 import tpuimg
-from tpuimg.core.timing import time_scan_fn
+from tpuimg.core.timing import time_stream_fn
 from tpuimg.oracle import clahe_ref, integral_ref
 
 log = open("opt_probe3.log", "a")
@@ -13,7 +13,7 @@ img = jax.random.randint(key, (2160, 3840), 0, 256, jnp.int32).astype(jnp.uint8)
 PIX = 2160*3840
 def t(name, fn, arg=img, iters=25):
     try:
-        r = time_scan_fn(fn, arg, iters=iters, pixels=PIX)
+        r = time_stream_fn(fn, arg, iters=iters, pixels=PIX)
         p(f"{name}: {r.ms:.3f} ms {r.gpix_s:.2f} GPix/s")
     except Exception as e:
         p(f"{name}: FAIL {str(e)[:150]}")

@@ -2,7 +2,7 @@ import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspa
 import numpy as np
 import jax, jax.numpy as jnp
 import tpuimg
-from tpuimg.core.timing import time_scan_fn
+from tpuimg.core.timing import time_stream_fn
 from tpuimg.oracle import integral_ref
 
 log = open("opt_probe4.log", "a")
@@ -11,7 +11,7 @@ def p(s):
 key = jax.random.PRNGKey(0)
 img = jax.random.randint(key, (2160, 3840), 0, 256, jnp.int32).astype(jnp.uint8)
 PIX = 2160*3840
-r = time_scan_fn(lambda x: tpuimg.integral(x, impl="pallas"), img, iters=30, pixels=PIX)
+r = time_stream_fn(lambda x: tpuimg.integral(x, impl="pallas"), img, iters=30, pixels=PIX)
 p(f"integral pallas (1-pass intile): {r.ms:.3f} ms {r.gpix_s:.2f} GPix/s")
 # exactness incl. saturated image (worst-case magnitudes)
 sm = jax.random.randint(key, (541, 733), 0, 256, jnp.int32).astype(jnp.uint8)
