@@ -33,12 +33,17 @@ from tpuimg.kernels.window import window_sum
 _MAX_STRIP = 2048  # output columns per strip
 
 
+# VMEM band budget — small on purpose; see sep_stencil._VMEM_BUDGET for the
+# round-2 measurement showing bigger budgets / vmem limits don't help
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
 def _pick_band(h: int, wp: int) -> int:
-    """Row band from the VMEM budget: pass A streams 6 double-buffered inputs
-    + 2 outputs and holds 4 windowed f32 planes."""
+    """Row band from the VMEM budget: the fused kernel streams 6
+    double-buffered inputs + 1 output and holds ~8 live f32 planes."""
     per_row = wp * 4 * 20
-    band = (10 * 1024 * 1024) // per_row
-    band = max(8, min(64, (band // 8) * 8))
+    band = _VMEM_BUDGET // per_row
+    band = max(8, min(256, (band // 8) * 8))
     return min(band, round_up(h, 8))
 
 

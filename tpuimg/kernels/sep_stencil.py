@@ -35,9 +35,18 @@ from tpuimg.kernels import interpret_mode
 from tpuimg.kernels.window import window_extreme
 
 def _halo_unit(dtype) -> int:
-    """Minimum sublane granularity: (8,128) for 4-byte dtypes, (32,128) for
-    1-byte (Mosaic rejects thinner u8 blocks)."""
-    return 32 if jnp.dtype(dtype).itemsize == 1 else 8
+    """Minimum sublane granularity: (8,128) for 4-byte dtypes, (16,128) for
+    2-byte, (32,128) for 1-byte (Mosaic rejects thinner blocks)."""
+    return {1: 32, 2: 16}.get(jnp.dtype(dtype).itemsize, 8)
+
+
+# VMEM band budget. The chip (v5e) has 128 MiB VMEM (probed round 2 with a
+# 120 MB scratch), but bigger bands measured NO faster at 4K (10/32/64 MB
+# budgets within noise) and raising the Mosaic vmem_limit_bytes to use them
+# actively HURT (gaussian 0.28 -> 0.43 ms, guided 0.83 -> 0.97 — the
+# compiler schedules better against its default limit). Keep the small
+# budget; don't re-raise without new evidence.
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _pick_band(h: int, wp: int, dtype, radius: int) -> int:
@@ -45,12 +54,11 @@ def _pick_band(h: int, wp: int, dtype, radius: int) -> int:
     one output stream, and the (band+2r, wp) intermediate must fit."""
     hu = _halo_unit(dtype)
     item = jnp.dtype(dtype).itemsize
-    budget = 10 * 1024 * 1024
     # bytes/row: 3 in-streams + 1 out stream, double-buffered, + ~2
     # intermediate planes at f32
     per_row = wp * (item * 8 + 4 * 2)
-    band = budget // per_row
-    band = max(hu, min(256, (band // hu) * hu))
+    band = _VMEM_BUDGET // per_row
+    band = max(hu, min(512, (band // hu) * hu))
     return min(band, round_up(h, hu))
 
 
@@ -154,18 +162,26 @@ def gaussian_pallas(img, radius: int, sigma: float):
         jnp.asarray(img))
 
 
+# compute dtype for u8 morphology: Mosaic rejects u8-native blocks for this
+# kernel shape (probed round 2), so widen minimally — bf16 halves the VMEM
+# and HBM traffic of the round-1 int32 widening, and min/max over integers
+# <= 255 is bf16-exact
+_U8_WIDEN = jnp.bfloat16
+
+
 def morphology_pallas(img, radius: int, mode: int):
     """Fused separable erode (mode 0) / dilate (mode 1), replicate border.
 
-    uint8 inputs are widened to int32 for the kernel (the Mosaic compiler
-    rejects the thin u8 halo blocks — re-probed round 2) and narrowed back —
-    results identical.
+    uint8 inputs are widened (see _U8_WIDEN) for the kernel and narrowed
+    back — results identical.
     """
     img = jnp.asarray(img)
     if img.dtype == jnp.uint8:
         return _over_batch(
-            lambda v: _sep_stencil(v.astype(jnp.int32), radius, None,
-                                   mode == 0, REPLICATE).astype(jnp.uint8),
+            lambda v: _sep_stencil(
+                v.astype(jnp.int32).astype(_U8_WIDEN), radius, None,
+                mode == 0, REPLICATE
+            ).astype(jnp.int32).astype(jnp.uint8),
             img)
     return _over_batch(
         lambda v: _sep_stencil(v, radius, None, mode == 0, REPLICATE), img)
