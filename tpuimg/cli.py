@@ -277,14 +277,17 @@ def cmd_sweep(args):
 
     import tpuimg
 
-    parts = args.radii.split("-")
-    lo, hi = (int(parts[0]), int(parts[-1]))
+    if "," in args.radii:  # explicit list, e.g. "1,2,4,8,15,30"
+        radii = [int(v) for v in args.radii.split(",")]
+    else:  # range, e.g. "1-30"
+        parts = args.radii.split("-")
+        radii = list(range(int(parts[0]), int(parts[-1]) + 1))
     rng = np.random.default_rng(0)
     img_f = jnp.asarray(rng.random((args.height, args.width), dtype=np.float32))
     img_u = jnp.asarray(rng.integers(0, 256, (args.height, args.width),
                                      dtype=np.uint8))
     results = []
-    for r in range(lo, hi + 1):
+    for r in radii:
         if args.op == "gaussian":
             fn, arg = (lambda v, r=r: tpuimg.gaussian(v, r, 1.0)), img_f
         elif args.op == "guided":

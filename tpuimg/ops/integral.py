@@ -47,6 +47,11 @@ def integral(img, impl: str = "auto"):
             else "xla"
         )
     if impl == "pallas":
+        if img.dtype != jnp.uint8:
+            raise DTypeError(
+                f"impl='pallas' integral requires uint8 (its row pass is "
+                f"exact for u8 only); got {img.dtype} — use impl='xla'"
+            )
         from tpuimg.kernels.scan2d import integral_pallas
 
         return integral_pallas(img)
