@@ -17,7 +17,7 @@ cases = [
     ("gauss r7 xla", lambda x: tpuimg.gaussian(x, 7, 3.0), img_f),
     ("gauss r7 pallas", lambda x: tpuimg.gaussian(x, 7, 3.0, impl="pallas"), img_f),
     ("guided r8 xla", lambda x: tpuimg.guided_filter(x, x, 8, 1e-3, border="reflect101", impl="xla"), img_f),
-    ("guided r8 pallas", lambda x: tpuimg.guided_filter(x, x, 8, 1e-3, impl="pallas"), img_f),
+    ("guided r8 pallas", lambda x: tpuimg.guided_filter(x, x, 8, 1e-3, border="reflect101", impl="pallas"), img_f),
     ("erode r2 xla", lambda x: tpuimg.erode(x, 2, impl="xla"), img_u8),
     ("erode r2 pallas", lambda x: tpuimg.erode(x, 2, impl="pallas"), img_u8),
     ("erode r6 xla", lambda x: tpuimg.erode(x, 6, impl="xla"), img_u8),
@@ -27,9 +27,9 @@ cases = [
     ("erode r25 xla", lambda x: tpuimg.erode(x, 25, impl="xla"), img_u8),
     ("erode r25 pallas", lambda x: tpuimg.erode(x, 25, impl="pallas"), img_u8),
     ("guided r12 xla", lambda x: tpuimg.guided_filter(x, x, 12, 1e-3, border="reflect101", impl="xla"), img_f),
-    ("guided r12 pallas", lambda x: tpuimg.guided_filter(x, x, 12, 1e-3, impl="pallas"), img_f),
+    ("guided r12 pallas", lambda x: tpuimg.guided_filter(x, x, 12, 1e-3, border="reflect101", impl="pallas"), img_f),
     ("guided r16 xla", lambda x: tpuimg.guided_filter(x, x, 16, 1e-3, border="reflect101", impl="xla"), img_f),
-    ("guided r16 pallas", lambda x: tpuimg.guided_filter(x, x, 16, 1e-3, impl="pallas"), img_f),
+    ("guided r16 pallas", lambda x: tpuimg.guided_filter(x, x, 16, 1e-3, border="reflect101", impl="pallas"), img_f),
     ("he xla", lambda x: tpuimg.hist_equalize(x, impl="xla"), img_u8),
     ("he pallas", lambda x: tpuimg.hist_equalize(x, impl="pallas"), img_u8),
     ("clahe xla", lambda x: tpuimg.clahe(x, 40.0, 8, 8, impl="xla"), img_u8),

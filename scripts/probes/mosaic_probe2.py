@@ -18,8 +18,8 @@ cases = [
   ("gauss r7 pallas 4k", lambda: time_stream_fn(lambda x: tpuimg.gaussian(x, 7, 3.0, impl="pallas"), img_f, iters=30, pixels=PIX)),
   ("erode r2 pallas 4k", lambda: time_stream_fn(lambda x: tpuimg.erode(x, 2, impl="pallas"), img_u8, iters=30, pixels=PIX)),
   ("erode r6 pallas 4k", lambda: time_stream_fn(lambda x: tpuimg.erode(x, 6, impl="pallas"), img_u8, iters=30, pixels=PIX)),
-  ("guided r8 pallas 4k", lambda: time_stream_fn(lambda x: tpuimg.guided_filter(x, x, 8, 1e-3, impl="pallas"), img_f, iters=30, pixels=PIX)),
-  ("guided r4 pallas 4k", lambda: time_stream_fn(lambda x: tpuimg.guided_filter(x, x, 4, 1e-3, impl="pallas"), img_f, iters=30, pixels=PIX)),
+  ("guided r8 pallas 4k", lambda: time_stream_fn(lambda x: tpuimg.guided_filter(x, x, 8, 1e-3, border="reflect101", impl="pallas"), img_f, iters=30, pixels=PIX)),
+  ("guided r4 pallas 4k", lambda: time_stream_fn(lambda x: tpuimg.guided_filter(x, x, 4, 1e-3, border="reflect101", impl="pallas"), img_f, iters=30, pixels=PIX)),
 ]
 for name, run in cases:
     try:

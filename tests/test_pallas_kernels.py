@@ -56,6 +56,20 @@ def test_hist256_pallas_exact(rng):
             got[t], np.bincount(groups[t], minlength=256))
 
 
+def test_hist256_groups_split_path_exact(rng, monkeypatch):
+    """Groups above _MAX_GROUP split into int32-summed subgroups so the f32
+    MXU accumulation can't round (an 8K frame is one 33 MPix group in the
+    batched-HE path) — exercised here with a shrunken threshold."""
+    from tpuimg.kernels import hist
+
+    monkeypatch.setattr(hist, "_MAX_GROUP", 4096)
+    groups = rng.integers(0, 256, (3, 10000), dtype=np.uint8)
+    got = np.asarray(hist.hist256_groups_pallas(groups))
+    for t in range(3):
+        np.testing.assert_array_equal(
+            got[t], np.bincount(groups[t], minlength=256))
+
+
 def test_lut_gather_float_table_bit_exact(rng):
     from tpuimg.kernels.lut import lut_gather
 
@@ -69,7 +83,8 @@ def test_lut_gather_float_table_bit_exact(rng):
 def test_guided_pallas(rng, radius, eps):
     I = rng.random((64, 200), dtype=np.float32)
     p = np.clip(I + 0.1 * rng.standard_normal(I.shape), 0, 1).astype(np.float32)
-    out = np.asarray(guided_filter(I, p, radius, eps, impl="pallas"))
+    out = np.asarray(guided_filter(I, p, radius, eps, border="reflect101",
+                                   impl="pallas"))
     ref = guided_filter_ref(I, p, radius, eps, border="reflect101")
     assert np.abs(out - ref).max() < 1e-3
 

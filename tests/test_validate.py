@@ -74,6 +74,23 @@ def test_guided_shape_mismatch_rejected(rng):
                              np.zeros((16, 18), np.float32), 2, 1e-3)
 
 
+def test_guided_pallas_rejects_shrink_border(rng):
+    # impl='pallas' implements the fused reflect-101 semantics only; a
+    # silent border mismatch would return wrong edge pixels
+    I = rng.random((32, 32), dtype=np.float32)
+    with pytest.raises(ParamError, match="reflect101"):
+        tpuimg.guided_filter(I, I, 2, 1e-3, impl="pallas")  # border=shrink
+
+
+def test_guided_auto_small_image_falls_back(rng):
+    # h <= 2r would overflow the fused kernel's reflect pad; auto must
+    # route to XLA and succeed
+    I = rng.random((20, 200), dtype=np.float32)
+    out = tpuimg.guided_filter(I, I, 12, 1e-3, border="reflect101",
+                               impl="auto")
+    assert out.shape == I.shape
+
+
 def test_morphology_rejects_radius_zero():
     with pytest.raises(ParamError):
         tpuimg.erode(np.zeros((8, 8), np.uint8), 0)

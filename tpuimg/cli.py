@@ -165,18 +165,19 @@ def cmd_clahe(args):
 
         lab = rgb_to_lab(jnp.asarray(rgb))
         L = lab[..., 0]
-        Leq = tpuimg.clahe(L, args.clip, args.xtiles, args.ytiles)
+        Leq = tpuimg.clahe(L, cfg.clip_limit, cfg.xtiles, cfg.ytiles)
         out_rgb = np.asarray(lab_to_rgb(jnp.stack(
             [Leq, lab[..., 1], lab[..., 2]], axis=-1)))
         imwrite(_out_path(args.image, "tpuclahe"), out_rgb)
         L_np = np.asarray(L)
     else:
         L_np = imread_gray(args.image)
-        out = np.asarray(tpuimg.clahe(L_np, args.clip, args.xtiles, args.ytiles))
+        out = np.asarray(tpuimg.clahe(L_np, cfg.clip_limit, cfg.xtiles,
+                                      cfg.ytiles))
         imwrite(_out_path(args.image, "tpuclahe"), out)
 
-    ref = clahe_ref(L_np, args.clip, args.xtiles, args.ytiles)
-    got = np.asarray(tpuimg.clahe(L_np, args.clip, args.xtiles, args.ytiles))
+    ref = clahe_ref(L_np, cfg.clip_limit, cfg.xtiles, cfg.ytiles)
+    got = np.asarray(tpuimg.clahe(L_np, cfg.clip_limit, cfg.xtiles, cfg.ytiles))
     fn = lambda v: tpuimg.clahe(v, cfg.clip_limit, cfg.xtiles, cfg.ytiles)
     r = _time(fn, jnp.asarray(L_np), args.nreps, L_np.size)
     return _report("clahe", r.ms, r.gpix_s, _maxdiff(got, ref), 1)
@@ -475,7 +476,16 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
     _device_banner()
-    ok = args.fn(args)
+    from tpuimg.core.validate import TpuImgError
+
+    try:
+        ok = args.fn(args)
+    except TpuImgError as e:
+        # config dataclasses / op validation reject bad parameters with
+        # typed errors; surface them as a clean CLI failure (the reference
+        # CHECK-macro exit(-1) analog, Histogram/cuda_utils.h:7-36)
+        print(f"tpuimg: invalid parameters: {e}", file=sys.stderr)
+        return 2
     return 0 if ok else 1
 
 

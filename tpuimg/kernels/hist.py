@@ -35,6 +35,7 @@ from tpuimg.core.layout import round_up
 from tpuimg.kernels import interpret_mode
 
 _ROWS = 32  # u8 sublane granularity; each grid step counts one (32, W) group
+_MAX_GROUP = 1 << 23  # pixels per kernel-call group (f32-exact count bound)
 
 
 def _hist_group_kernel(x_ref, o_ref):
@@ -91,10 +92,15 @@ def hist256_groups_pallas(x):
     """Per-group histograms: u8 (G, P) -> (G, 256) int32, exact.
 
     Each row (group) is one histogram domain — a CLAHE tile's pixels
-    (flattened) or one frame of a batch.
-    """
+    (flattened) or one frame of a batch. Groups holding >= 2^23 pixels are
+    split into subgroups and summed in int32, so f32 MXU accumulation stays
+    exact for any frame size (an 8K frame is 33 MPix > 2^24)."""
     g, p = x.shape
-    pp = round_up(p, _ROWS * 128)
+    # subgroups keep per-kernel-call counts < 2^23 (2x margin under the f32
+    # exact-integer bound of 2^24)
+    k = max(1, -(-p // _MAX_GROUP))
+    pp = round_up(p, k * _ROWS * 128)
     x = jnp.pad(x, ((0, 0), (0, pp - p)))
-    hists = _run_groups(x.reshape(g, _ROWS, pp // _ROWS))
+    hists = _run_groups(x.reshape(g * k, _ROWS, pp // k // _ROWS))
+    hists = jnp.sum(hists.reshape(g, k, 256), axis=1)
     return hists.at[:, 0].add(p - pp)  # undo the zero padding

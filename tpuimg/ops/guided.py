@@ -181,11 +181,23 @@ def guided_filter(I, p, radius: int, eps: float, border: str = SHRINK,
             f"share spatial dims (p may add one leading channel dim)"
         )
     if impl == "auto":
+        # the fused kernel's reflect-101 row/col pads reach 2r, so it needs
+        # min(h, w) > 2r; smaller inputs stay on the XLA chain
         impl = (
             "pallas"
             if (jax.default_backend() != "cpu" and border == REFLECT101
-                and radius <= _PALLAS_MAX_RADIUS)
+                and radius <= _PALLAS_MAX_RADIUS
+                and min(I.shape[-2], I.shape[-1]) > 2 * radius)
             else "xla"
+        )
+    if impl == "pallas" and border != REFLECT101:
+        from tpuimg.core.validate import ParamError
+
+        raise ParamError(
+            f"impl='pallas' implements the fused-path semantics "
+            f"(border='reflect101', fixed 1/ksz^2 normalization, "
+            f"guided_filter_d.cu:1047-1093); got border={border!r} — "
+            f"use impl='xla' for the {border!r} class-path semantics"
         )
     I = jnp.asarray(I, jnp.float32)
     p = jnp.asarray(p, jnp.float32)

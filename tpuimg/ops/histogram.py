@@ -100,7 +100,16 @@ def hist_equalize(img, impl: str = "auto"):
         tables = jnp.rint(
             jnp.minimum(jnp.float32(255.0), cdfs * factor)
         ).astype(jnp.uint8)
-        out = jax.vmap(lut_apply)(tables, flat)
+        if _on_tpu() and flat.shape[0] <= 8:
+            # per-frame Pallas lane dynamic-gather (same path as 2D HE);
+            # unrolled calls beat vmap on the band kernels (sep_stencil)
+            from tpuimg.kernels.lut import lut_gather
+
+            out = jnp.stack([
+                lut_gather(tables[i], flat[i]) for i in range(flat.shape[0])
+            ])
+        else:
+            out = jax.vmap(lut_apply)(tables, flat)
         return out.reshape(lead + img.shape[-2:])
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"

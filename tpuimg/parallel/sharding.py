@@ -265,7 +265,10 @@ def clahe_sharded(mesh: Mesh, clip_limit: float, xtiles: int, ytiles: int):
             fr = jnp.float32(255.0 / (tw * th))
             tables = jnp.cumsum(hists, axis=-1).astype(jnp.float32) * fr
 
-            # --- bilinear 4-LUT mapping, global y via dynamic ty per row ---
+            # --- bilinear 4-LUT mapping: dynamic ty per row (global coords),
+            # static x-run decomposition; table values selected with the
+            # shared-one-hot einsum (no per-pixel gathers — TPU gathers over
+            # a table bank measured ~100x slower, kernels/onehot.py) ---
             gyf = (o + jnp.arange(hs)).astype(jnp.float32)
             tyf = (gyf + jnp.float32(pad_top)) / jnp.float32(th) \
                 - jnp.float32(0.5)
@@ -274,28 +277,31 @@ def clahe_sharded(mesh: Mesh, clip_limit: float, xtiles: int, ytiles: int):
             ya = (tyf - ty1.astype(jnp.float32))[:, None]
             ya1 = jnp.float32(1.0) - ya
 
-            gxf = jnp.arange(w, dtype=jnp.float32)
-            inv_tw = jnp.float32(1.0) / jnp.float32(tw)
-            txf = (gxf + jnp.float32(pad_left)) * inv_tw - jnp.float32(0.5)
-            tx1 = jnp.trunc(txf).astype(jnp.int32)
-            tx2 = jnp.minimum(tx1 + 1, xtiles - 1)
-            xa = (txf - tx1.astype(jnp.float32))[None, :]
-            xa1 = jnp.float32(1.0) - xa
+            tabs3 = tables.reshape(ytiles * xtiles, 16, 16)
+            oh_hi, oh_lo = onehot_nibbles(block, jnp.float32)  # (hs, w, 16)
 
-            v = block.astype(jnp.int32)  # (hs, w)
+            def corner(tyr, txc, x0, x1):
+                # per-ROW table selection (hs small gathers of 256 floats),
+                # then exact one-hot selection of table[v] per pixel
+                T = tabs3[tyr * xtiles + txc]  # (hs, 16, 16)
+                mid = jnp.einsum("rwa,rab->rwb", oh_hi[:, x0:x1], T,
+                                 precision="highest")
+                return jnp.sum(mid * oh_lo[:, x0:x1], axis=-1)  # (hs, run)
 
-            def lut_at(tyr, txc):
-                # per-pixel table row (hs,1)/(1,w) -> gather (hs, w)
-                tid = tyr[:, None] * xtiles + txc[None, :]
-                flat = tid * 256 + v
-                return jnp.take(tables.reshape(-1), flat.reshape(-1),
-                                mode="clip").reshape(v.shape)
+            from tpuimg.ops.histogram import _tile_coord_runs
 
-            t11 = lut_at(ty1, tx1)
-            t12 = lut_at(ty1, tx2)
-            t21 = lut_at(ty2, tx1)
-            t22 = lut_at(ty2, tx2)
-            out = (t11 * xa1 + t12 * xa) * ya1 + (t21 * xa1 + t22 * xa) * ya
+            chunks = []
+            for x0, x1, tx1, tx2, xa_np in _tile_coord_runs(
+                    w, xtiles, tw, pad_left, use_recip=True):
+                xa = jnp.asarray(xa_np, jnp.float32)[None, :]
+                xa1 = jnp.float32(1.0) - xa
+                t11 = corner(ty1, tx1, x0, x1)
+                t12 = corner(ty1, tx2, x0, x1)
+                t21 = corner(ty2, tx1, x0, x1)
+                t22 = corner(ty2, tx2, x0, x1)
+                chunks.append((t11 * xa1 + t12 * xa) * ya1
+                              + (t21 * xa1 + t22 * xa) * ya)
+            out = jnp.concatenate(chunks, axis=-1)
             return jnp.clip(jnp.trunc(out), 0.0, 255.0).astype(jnp.uint8)
 
         return inner(img)
