@@ -65,8 +65,10 @@ def main():
         ("guided_r8_4k",
          lambda x: tpuimg.guided_filter(x, x, 8, 1e-3, border="reflect101"),
          img4k_f, PIX4K, 16, sol_ms(2 * MB4K_F32)),  # I==p: one read + write
-        ("morph_31x31_4k_batch2", lambda x: tpuimg.dilate(tpuimg.erode(x, 15), 15),
-         batch4k_u8, 2 * 2 * PIX4K, 16, sol_ms(2 * 4 * MB4K_U8)),
+        # morph_open = the fused single-pass open kernel (round 2); pixels
+        # count both stages like the reference would launch them
+        ("morph_31x31_4k_batch2", lambda x: tpuimg.morph_open(x, 15),
+         batch4k_u8, 2 * 2 * PIX4K, 16, sol_ms(2 * 2 * MB4K_U8)),
         ("enhance_pipeline_4k", lambda x: __import__(
             "tpuimg.pipeline", fromlist=["enhance"]).enhance(x), img4k_u8,
          PIX4K, 12, sol_ms(3 * MB4K_U8 + 2 * MB4K_F32)),

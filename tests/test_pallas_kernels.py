@@ -41,6 +41,22 @@ def test_morph_pallas_exact(rng, radius):
     )
 
 
+@pytest.mark.parametrize("radius", [1, 3, 8, 15])
+def test_open_close_pallas_exact(rng, radius):
+    """Fused single-pass open/close == composed erode/dilate, including the
+    border clamp of the intermediate (and 2r > h shapes)."""
+    from tpuimg.kernels.sep_stencil import open_close_pallas
+
+    for shape in [(97, 201), (15, 33)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        ref_o = dilate_ref(np.asarray(erode(img, radius, impl="xla")), radius)
+        np.testing.assert_array_equal(
+            np.asarray(open_close_pallas(img, radius, 0)), ref_o)
+        ref_c = erode_ref(np.asarray(dilate(img, radius, impl="xla")), radius)
+        np.testing.assert_array_equal(
+            np.asarray(open_close_pallas(img, radius, 1)), ref_c)
+
+
 def test_hist256_pallas_exact(rng):
     from tpuimg.kernels.hist import hist256_groups_pallas, hist256_pallas
 

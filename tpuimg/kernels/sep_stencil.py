@@ -141,6 +141,103 @@ def _sep_stencil(img, radius: int, weights, is_min: bool, border: str):
     return out[:h, :w]
 
 
+def _open_close_kernel(r: int, band: int, wout: int, w: int, h: int,
+                       first_min: bool, hb: int):
+    """Fused open/close: stage-1 extreme on a (band+2r, wout+2r) extent from
+    a 2r halo, stage-2 extreme of the opposite sense on the band.
+
+    The composed op's replicate border acts on the STAGE-1 RESULT, so
+    stage-1 values outside the image must be clamped to the nearest valid
+    row/column (a fresh extreme over replicated raw pixels would differ:
+    its window is a subset, so its min is >= the true edge value).
+    """
+    ksz = 2 * r + 1
+    fn1 = jnp.minimum if first_min else jnp.maximum
+    fn2 = jnp.maximum if first_min else jnp.minimum
+
+    def kernel(top_ref, cur_ref, bot_ref, o_ref):
+        i = pl.program_id(0)
+        t = jnp.concatenate(
+            [top_ref[hb - 2 * r :], cur_ref[:], bot_ref[: 2 * r]], axis=0
+        )  # (band + 4r, wp)
+        s1 = window_extreme(t, ksz, wout + 2 * r, axis=1, fn=fn1)
+        s1 = window_extreme(s1, ksz, band + 2 * r, axis=0, fn=fn1)
+        # s1 lane l <-> stage-1 column x = l - r; clamp x to [0, w)
+        left = jnp.broadcast_to(s1[:, r : r + 1], (band + 2 * r, r))
+        right = jnp.broadcast_to(
+            s1[:, w + r - 1 : w + r], (band + 2 * r, wout + r - w))
+        s1 = jnp.concatenate([left, s1[:, r : w + r], right], axis=1)
+        # s1 row j <-> stage-1 global row gy = i*band - r + j; clamp to [0, h)
+        gy = (jax.lax.broadcasted_iota(jnp.int32, (band + 2 * r, 1), 0)
+              + i * band - r)
+        s1 = jnp.where(gy < 0, s1[r : r + 1, :], s1)
+        # Mosaic has no dynamic_slice on values: extract the clamp row
+        # (stage-1 row of global row h-1) with a masked reduction instead
+        jh = jnp.clip(h - 1 + r - i * band, 0, band + 2 * r - 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, s1.shape, 0)
+        bot_row = jnp.max(jnp.where(rows == jh, s1, s1.dtype.type(-jnp.inf)
+                                    if jnp.issubdtype(s1.dtype, jnp.floating)
+                                    else jnp.iinfo(s1.dtype).min),
+                          axis=0, keepdims=True)
+        s1 = jnp.where(gy > h - 1, bot_row, s1)
+        s2 = window_extreme(s1, ksz, wout, axis=1, fn=fn2)
+        o_ref[:] = window_extreme(s2, ksz, band, axis=0, fn=fn2)
+
+    return kernel
+
+
+def _open_close(img, radius: int, first_min: bool):
+    """Fused open (erode then dilate) / close on a 2D image — one HBM pass
+    where the composed form is two (the reference composes two full
+    hMorphology launches, morphology.cpp:25-60)."""
+    h, w = img.shape
+    r = radius
+    wout = round_up(w, 128)
+    wp = round_up(wout + 4 * r, 128)
+    hu = _halo_unit(img.dtype)
+    hb = round_up(2 * r, hu)
+    band = round_up(max(_pick_band(h, wp, img.dtype, 2 * r), hb), hb)
+    hp = round_up(h, band)
+
+    x = jnp.pad(img, ((2 * r, 2 * r), (2 * r, 2 * r)), mode="edge")
+    x = jnp.pad(x, ((band - 2 * r, hp - h - 2 * r + hb),
+                    (0, wp - w - 4 * r)), mode="edge")
+
+    kernel = _open_close_kernel(r, band, wout, w, h, first_min, hb)
+    bpr = band // hb
+    out = pl.pallas_call(
+        kernel,
+        grid=(hp // band,),
+        in_specs=[
+            pl.BlockSpec((hb, wp), lambda i: ((i + 1) * bpr - 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((band, wp), lambda i: (i + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, wp), lambda i: ((i + 2) * bpr, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((band, wout), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wout), img.dtype),
+        interpret=interpret_mode(),
+    )(x, x, x)
+    return out[:h, :w]
+
+
+def open_close_pallas(img, radius: int, mode: int):
+    """Fused morphological open (mode 0) / close (mode 1), replicate border.
+    uint8 widens like morphology_pallas."""
+    img = jnp.asarray(img)
+    first_min = mode == 0  # open erodes (min) first
+    if img.dtype == jnp.uint8:
+        return _over_batch(
+            lambda v: _open_close(
+                v.astype(jnp.int32).astype(_U8_WIDEN), radius, first_min
+            ).astype(jnp.int32).astype(jnp.uint8),
+            img)
+    return _over_batch(lambda v: _open_close(v, radius, first_min), img)
+
+
 def _over_batch(fn, img):
     """Apply a 2D kernel over leading dims: small batches unroll into
     separate pallas_calls (measured 1.4x faster than vmap on v5e — vmap adds

@@ -135,11 +135,35 @@ def dilate(img, radius: int, impl: str = "auto"):
     return _morph(img, radius, 1, impl)
 
 
+def _open_close(img, radius: int, mode: int, impl: str):
+    from tpuimg.core.validate import check_image, check_radius
+
+    check_radius(radius)
+    check_image(img, "img", dtypes=[jnp.uint8, jnp.int32, jnp.float32])
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if jax.default_backend() != "cpu" and radius >= _PALLAS_MIN_RADIUS
+            else "xla"
+        )
+    if impl == "pallas":
+        # ONE fused kernel: the second stage consumes the first from a 2r
+        # halo recompute with border-clamped intermediates — one HBM pass
+        # where composing erode/dilate is two
+        from tpuimg.kernels.sep_stencil import open_close_pallas
+
+        return open_close_pallas(img, radius, mode)
+    first, second = (erode, dilate) if mode == 0 else (dilate, erode)
+    return second(first(img, radius, impl), radius, impl)
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "impl"))
 def morph_open(img, radius: int, impl: str = "auto"):
-    return dilate(erode(img, radius, impl), radius, impl)
+    """Erode then dilate (square SE, replicate border)."""
+    return _open_close(img, radius, 0, impl)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "impl"))
 def morph_close(img, radius: int, impl: str = "auto"):
-    return erode(dilate(img, radius, impl), radius, impl)
+    """Dilate then erode (square SE, replicate border)."""
+    return _open_close(img, radius, 1, impl)
