@@ -72,3 +72,32 @@ def test_fuzz_morph_large_radii(rng):
         np.testing.assert_array_equal(
             np.asarray(tpuimg.erode(u8, radius)), erode_ref(u8, radius)
         )
+
+
+def test_fuzz_pallas_engines_random_shapes(rng):
+    """Random shapes through the round-2 Pallas kernels (interpret mode):
+    doubling-window morphology, fused open/close, one-pass guided, Pallas
+    histograms — exact/tol vs the composed oracles."""
+    from tpuimg.kernels.boxsum import guided_filter_pallas
+    from tpuimg.kernels.hist import hist256_pallas
+    from tpuimg.kernels.sep_stencil import morphology_pallas, open_close_pallas
+
+    for trial in range(4):
+        h = int(rng.integers(17, 200))
+        w = int(rng.integers(33, 300))
+        u8 = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        f32 = rng.random((h, w), dtype=np.float32)
+        r = int(rng.integers(1, 16))
+
+        np.testing.assert_array_equal(
+            np.asarray(morphology_pallas(u8, r, 0)), erode_ref(u8, r))
+        np.testing.assert_array_equal(
+            np.asarray(open_close_pallas(u8, r, 0)),
+            dilate_ref(erode_ref(u8, r), r))
+        np.testing.assert_array_equal(
+            np.asarray(hist256_pallas(u8)),
+            np.bincount(u8.ravel(), minlength=256))
+        if min(h, w) > 2 * r:
+            q = np.asarray(guided_filter_pallas(f32, f32, r, 1e-3))
+            ref = guided_filter_ref(f32, f32, r, 1e-3, border="reflect101")
+            assert np.abs(q - ref).max() < 1e-3, (h, w, r)

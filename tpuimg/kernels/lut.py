@@ -62,6 +62,21 @@ def _lut_kernel(tab_ref, x_ref, o_ref):
             o_ref[:, ts] = val.astype(o_ref.dtype)
 
 
+def _lut_kernel_packed(tab_ref, x_ref, o_ref):
+    """u8 table packed 4 entries/lane into (1, 128) i32: ONE gather + a
+    variable byte-extract per tile instead of two gathers + select."""
+    rows, wp = x_ref.shape
+    for t in range(wp // 128):
+        ts = slice(t * 128, (t + 1) * 128)
+        idx = x_ref[:, ts].astype(jnp.int32)
+        word = jnp.take_along_axis(
+            jnp.broadcast_to(tab_ref[0:1, :], (rows, 128)), idx >> 2, axis=1,
+            mode="promise_in_bounds",
+        )
+        val = (word >> ((idx & 3) * 8)) & 255
+        o_ref[:, ts] = val.astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def lut_gather(table, img):
     """dst = table[img] via lane dynamic-gather; table (256,), img u8 (H, W).
@@ -71,29 +86,41 @@ def lut_gather(table, img):
     astype(int32) would truncate — round-1 advisor finding)."""
     table = jnp.asarray(table)
     is_float = jnp.issubdtype(table.dtype, jnp.floating)
-    if is_float:
-        tab_i32 = jax.lax.bitcast_convert_type(
-            table.astype(jnp.float32), jnp.int32
-        )
-    else:
-        tab_i32 = table.astype(jnp.int32)
     h, w = img.shape
     hp, wp = round_up(h, _BR), round_up(w, 128)
     x = jnp.pad(img, ((0, hp - h), (0, wp - w)))
-    tab2 = tab_i32.reshape(2, 128)
-    out_dtype = jnp.uint8 if table.dtype == jnp.uint8 else jnp.int32
+    if table.dtype == jnp.uint8:
+        # pack 4 entries/lane: table[v] = byte (v & 3) of word v >> 2
+        t32 = table.astype(jnp.int32).reshape(64, 4)
+        shifts = jnp.asarray([0, 8, 16, 24], jnp.int32)
+        packed = jnp.sum(t32 << shifts, axis=1, dtype=jnp.int32)
+        tab = jnp.pad(packed, (0, 64)).reshape(1, 128)
+        kernel, out_dtype = _lut_kernel_packed, jnp.uint8
+        tab_spec = pl.BlockSpec((1, 128), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        if is_float:
+            tab_i32 = jax.lax.bitcast_convert_type(
+                table.astype(jnp.float32), jnp.int32
+            )
+        else:
+            tab_i32 = table.astype(jnp.int32)
+        tab = tab_i32.reshape(2, 128)
+        kernel, out_dtype = _lut_kernel, jnp.int32
+        tab_spec = pl.BlockSpec((2, 128), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _lut_kernel,
+        kernel,
         grid=(hp // _BR,),
         in_specs=[
-            pl.BlockSpec((2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            tab_spec,
             pl.BlockSpec((_BR, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_BR, wp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), out_dtype),
         interpret=interpret_mode(),
-    )(tab2, x)
+    )(tab, x)
     out = out[:h, :w]
     if is_float:
         return jax.lax.bitcast_convert_type(out, jnp.float32).astype(table.dtype)
