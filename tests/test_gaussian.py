@@ -27,3 +27,23 @@ def test_gaussian_odd_sizes(rng):
     out = np.asarray(gaussian(img, 4, 2.0))
     ref = gaussian_ref(img, 4, 2.0)
     assert np.abs(out - ref).max() < 1e-5
+
+
+def test_gaussian_strip_path_bit_exact(rng, monkeypatch):
+    """Large frames route through column strips (VMEM-residency fix, round
+    2); results must match the monolithic pyramid bit-for-bit — exercised
+    with a shrunken threshold."""
+    import importlib
+
+    # tpuimg.ops re-exports the op FUNCTION under the same name, shadowing
+    # the submodule in `import ... as` resolution
+    g = importlib.import_module("tpuimg.ops.gaussian")
+
+    img = rng.random((64, 2500), dtype=np.float32)
+    ref = np.asarray(gaussian(img, 2, 1.5))
+    monkeypatch.setattr(g, "_STRIP_BYTES", 1024)
+    got = np.asarray(gaussian(img[:, :-4], 2, 1.5))  # fresh shape
+    np.testing.assert_array_equal(got, np.asarray(
+        gaussian(img[:, :-4], 2, 1.5)))
+    # and against the oracle on the strip path
+    assert np.abs(got - gaussian_ref(img[:, :-4], 2, 1.5)).max() < 1e-5
