@@ -1,4 +1,4 @@
-"""Pallas 2D prefix-scan (integral image), uint8 → int32.
+"""Pallas 2D prefix-scan (integral image), uint8 → int32 — all-MXU form.
 
 Reference: Integral/integral_d.cu — 4-kernel hierarchical carry pipeline
 (in-tile scans :13-59, Blelloch scans of tile carries :220-284/:504-593,
@@ -6,28 +6,45 @@ carry broadcast :716-749, driver hIntegral :863-893), needed because CUDA
 thread blocks can't see each other's results within a launch.
 
 TPU redesign: a Pallas grid on one core executes *sequentially*, so the whole
-carry hierarchy collapses into ONE fused pass over row bands:
+carry hierarchy collapses into ONE fused pass over row bands — and (round 2b)
+BOTH scan directions run as triangular matmuls on the MXU, none on the VPU:
 
-- rows: per-128-lane-tile prefix sums as one bf16 triangular matmul on the
-  MXU (exact: u8 values are bf16-exact, the triangular operand is 0/1) plus
-  a tiny HIGHEST-precision cross-tile carry matmul;
-- columns: two-level in-band scan (3 masked roll-adds within 8-row segments
-  + a segment-total scan) in int32, with the running column carry held in a
-  (1, W) VMEM scratch across the sequential band grid — the reference's
-  "scan of tile carries" at band radix, with zero extra HBM traffic.
+- rows: per-128-lane-tile prefix sums as one triangular matmul (u8 values
+  are bf16-exact; DEFAULT-precision f32 operands are truncated to bf16 *in
+  the MXU pipeline*, so no explicit convert op is paid), plus a tiny
+  HIGHEST-precision cross-tile carry matmul (exact: values < 2^20 < 2^24);
+- columns: the in-band column prefix is L @ r with L lower-triangular ones.
+  Band column sums reach 2^22, but DEFAULT-precision matmuls truncate
+  operands to bf16 (8 mantissa bits), so the row-scanned values are split
+  into bf16-exact halves hi = ⌊r/256⌋ < 2^7 and lo = r − 256·hi < 2^8 and
+  scanned by two DEFAULT matmuls (partial sums < 2^22 stay f32-exact);
+  recombined with one FMA, still f32-exact.  The cross-tile carry (< 2^20)
+  is column-scanned separately — by linearity colscan(intile + tc) =
+  colscan(intile) + colscan(tc) — as a 12-bit HIGHEST + 8-bit DEFAULT pair
+  on the tiny (band, ntiles) array.
+- the running cross-band carry lives in a (1, W) VMEM scratch across the
+  sequential band grid — the reference's "scan of tile carries" at band
+  radix, with zero extra HBM traffic.
 
-HBM traffic = one u8 read + one i32 write. Measured (honest streaming
-protocol, v5e 4K): 0.25 ms = 33 GPix/s = 2.4x the reference's CUDA pipeline
-(0.597 ms, Integral/readme.md:23). The kernel is VPU-bound, not
-bandwidth-bound: a pure read+convert+write kernel measures 0.034 ms, the row
-pass adds ~0.13 ms and the column pass ~0.09 ms
-(scripts/probes/integral_r2_probe.py). Tuned variants that did NOT help,
-measured round 2 — don't re-try without new evidence:
-- bf16 triangular-matmul operands instead of f32: no change (0.252 vs 0.247
-  — the cost is conversions/reshapes, not MXU passes);
-- 3D dot_general avoiding the (rows, wp)->(rows*nt, 128) reshape: no change
-  (0.250) — the reshape is vreg-granular and effectively free;
-- band 256 instead of 128: worse (0.283) — larger carries, same op count.
+HBM traffic = one u8 read + one i32 write.  Measured (honest streaming
+protocol, v5e 4K): 0.18 ms = 45 GPix/s = 3.3x the reference's CUDA pipeline
+(0.597 ms, Integral/readme.md:23), up from 0.255 ms for the round-2 form
+whose column pass was masked VPU roll-adds.  Band 48 measured fastest
+(48: 0.180, 64: 0.196, 128: 0.211, 256: 0.247 ms).
+
+Measured dead ends (scripts/probes/integral_mxu_col_probe.py) — don't
+re-try without new evidence:
+- column-scan-FIRST (u8 needs no split) then 2-part row scan: 0.31 ms —
+  the extra relayouts outweigh the saved split;
+- tile-major (H·nt, 128) input BlockSpec to skip the in-kernel reshape:
+  0.22 ms — no gain, the relayout just moves to the intile→(rows,wp) view;
+- HIGHEST precision on a full-size (128,128)@(128,W) matmul: +0.04 ms
+  (6-pass bf16 decomposition) — keep HIGHEST for tiny carry matmuls only;
+- int8 MXU row pass (x−128 bias trick, i32 accumulation): 0.207 ms — the
+  bias-correction ramp costs more than the f32 converts it saves;
+- Mosaic fails (opaque remote-compile 500) on THREE dot_generals over the
+  small (band, ntiles) array in one kernel; two compile fine — hence the
+  12+8-bit two-matmul split for carries rather than three 8-bit parts.
 """
 
 from __future__ import annotations
@@ -42,30 +59,17 @@ from jax.experimental.pallas import tpu as pltpu
 from tpuimg.core.layout import pad_to_multiple
 from tpuimg.kernels import interpret_mode
 
-_ROW_BAND = 32   # u8 native sublane tiling
-_COL_BAND = 128  # fused-scan band rows
+_COL_BAND = 48  # fused-scan band rows (sweep: fastest at 4K, see docstring)
+
+_HI = jax.lax.Precision.HIGHEST
+_ARGS = (((1,), (0,)), ((), ()))
 
 
-def _scan_shift(x, axis: int):
-    """Inclusive prefix sum along ``axis`` via log2(n) masked roll-adds.
-
-    Mosaic has no cumsum primitive; this is the classic Hillis-Steele scan on
-    the VPU — ``pltpu.roll`` is a cheap lane/sublane rotation, and the mask
-    zeroes the wrapped elements.
-    """
-    n = x.shape[axis]
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
-    shift = 1
-    while shift < n:
-        rolled = pltpu.roll(x, shift, axis=axis)
-        x = x + jnp.where(idx >= shift, rolled, 0)
-        shift *= 2
-    return x
-
-
-
-_SEG = 8  # column-scan segment height
-
+def _tri(n, strict, dtype):
+    """Lower-triangular ones (contract with dim 0 => inclusive prefix)."""
+    a = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    b = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return ((a < b) if strict else (b <= a)).astype(dtype)
 
 
 def _fused_scan_kernel(x_ref, o_ref, carry):
@@ -78,54 +82,48 @@ def _fused_scan_kernel(x_ref, o_ref, carry):
 
     rows, wp = o_ref.shape
     nt = wp // 128
-    # bf16 operands (u8 values and the 0/1 triangular matrix are bf16-exact;
-    # accumulation is f32) — a native single-pass MXU matmul instead of the
-    # 3-pass f32 form
-    x = x_ref[:].astype(jnp.int32).astype(jnp.bfloat16).reshape(rows * nt, 128)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    U = (ii <= jj).astype(jnp.bfloat16)
+    # row pass: in-tile prefix on the MXU (u8 -> bf16 exact in hardware)
+    x = x_ref[:].astype(jnp.int32).astype(jnp.float32).reshape(rows * nt, 128)
+    U = jnp.transpose(_tri(128, strict=False, dtype=jnp.float32))
     intile = jax.lax.dot_general(
-        x, U, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        x, U, _ARGS, preferred_element_type=jnp.float32
     ).reshape(rows, nt, 128)
+    # cross-tile row carry (exclusive; values < 2^20 exact under HIGHEST)
     totals = intile[:, :, 127]
-    a = jax.lax.broadcasted_iota(jnp.int32, (nt, nt), 0)
-    b = jax.lax.broadcasted_iota(jnp.int32, (nt, nt), 1)
-    L = (a < b).astype(jnp.float32)
-    tile_carry = jax.lax.dot_general(
-        totals, L, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
+    tc = jax.lax.dot_general(
+        totals, _tri(nt, strict=True, dtype=jnp.float32), _ARGS,
+        precision=_HI, preferred_element_type=jnp.float32,
     )
-    r = ((intile + tile_carry[:, :, None]).reshape(rows, wp)).astype(jnp.int32)
-
-    # in-band column scan (two-level) + cross-band carry
-    idx = jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
-    for shift in (1, 2, 4):
-        rolled = pltpu.roll(r, shift, axis=0)
-        r = r + jnp.where(idx % _SEG >= shift, rolled, 0)
-    nseg = rows // _SEG
-    seg_tot = r.reshape(nseg, _SEG, wp)[:, _SEG - 1]
-    seg_carry = _scan_shift(seg_tot, axis=0) - seg_tot
-    expanded = jnp.broadcast_to(
-        seg_carry[:, None, :], (nseg, _SEG, wp)
-    ).reshape(rows, wp)
-    s = r + expanded + carry[:]
+    # column pass: two bf16-exact halves through DEFAULT triangular matmuls
+    f = intile.reshape(rows, wp)
+    hi = jnp.floor(f * (1.0 / 256.0))   # < 2^7
+    lo = f - hi * 256.0                 # < 2^8
+    L = _tri(rows, strict=False, dtype=jnp.float32)
+    shi = jax.lax.dot_general(L, hi, _ARGS, preferred_element_type=jnp.float32)
+    slo = jax.lax.dot_general(L, lo, _ARGS, preferred_element_type=jnp.float32)
+    s2d = shi * 256.0 + slo             # < 2^22, f32-exact
+    # column scan of the tiny carry: 8-bit DEFAULT + 12-bit HIGHEST parts
+    th = jnp.floor(tc * (1.0 / 4096.0))
+    tl = tc - th * 4096.0
+    sth = jax.lax.dot_general(L, th, _ARGS, preferred_element_type=jnp.float32)
+    stl = jax.lax.dot_general(L, tl, _ARGS, precision=_HI,
+                              preferred_element_type=jnp.float32)
+    tc2d = (sth.astype(jnp.int32) << 12) + stl.astype(jnp.int32)
+    s = (s2d.reshape(rows, nt, 128).astype(jnp.int32) + tc2d[:, :, None])
+    s = s.reshape(rows, wp) + carry[:]
     o_ref[:] = s
-    carry[:] = s[rows - 1 :, :]
+    carry[:] = s[rows - 1:, :]
 
 
 @functools.partial(jax.jit, static_argnames=())
 def integral_pallas(img):
-    """Inclusive 2D prefix sum of a (H, W) uint8/int image, int32."""
+    """Inclusive 2D prefix sum of a (H, W) uint8 image, int32."""
     if img.ndim != 2:
         return jax.vmap(integral_pallas)(img)
-    x, (h, w) = pad_to_multiple(jnp.asarray(img), _ROW_BAND, 128, mode="constant")
+    x, (h, w) = pad_to_multiple(jnp.asarray(img), _COL_BAND, 128,
+                                mode="constant")
     hp, wp = x.shape
     band = min(_COL_BAND, hp)
-    x, _ = pad_to_multiple(x, band, 128, mode="constant")
-    hp = x.shape[0]
 
     out = pl.pallas_call(
         _fused_scan_kernel,
