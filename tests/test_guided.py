@@ -40,3 +40,14 @@ def test_guided_color_src_gray_guide(rng):
     for c in range(3):
         ref = guided_filter_ref(I, p[c], 4, 1e-2, border="shrink")
         assert np.abs(out[c] - ref).max() < 1e-3
+
+
+def test_guided_self_guide_specialization_bitwise(rng):
+    # p-is-I triggers the 2-mean specialization (kernel_self); same math as
+    # the general 4-mean path fed two equal-valued arrays, so any gap beyond
+    # XLA fusion/reassociation noise (~1e-7) is a logic error
+    I = rng.random((48, 150), dtype=np.float32)
+    for border in ("shrink", "reflect101"):
+        fast = np.asarray(guided_filter(I, I, 8, 1e-3, border=border))
+        general = np.asarray(guided_filter(I, I.copy(), 8, 1e-3, border=border))
+        assert np.abs(fast - general).max() < 1e-6

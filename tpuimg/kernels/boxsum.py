@@ -160,8 +160,14 @@ def _guided_strip_onepass(Iseg, pseg, r: int, eps: float):
     halo rows' a/b — pure VPU work, zero extra HBM traffic), box-means them,
     and writes q. HBM traffic = 2 reads + 1 write of the strip.
 
+    ``pseg is Iseg`` triggers the self-guided specialization: with P ≡ I the
+    four windowed means collapse to two (pmu ≡ imu, ipmu ≡ iimu), dropping
+    2 of the 6 window-sum ladders and one input stream — bitwise-identical
+    output, the kernel is VPU-op-bound (docs/PERFORMANCE.md).
+
     ``Iseg``/``pseg`` are (h, w_in) with w_in = w_out + 4r halo columns.
     """
+    self_guided = pseg is Iseg
     h, w_in = Iseg.shape
     ksz = 2 * r + 1
     coef = 1.0 / (ksz * ksz)
@@ -178,24 +184,33 @@ def _guided_strip_onepass(Iseg, pseg, r: int, eps: float):
             [top[hb - 2 * r :], cur, bot[: 2 * r]], axis=0
         )  # (band + 4r, wp)
 
-    def kernel(It, Ic_, Ib, Pt, Pc, Pb, q_ref):
-        Iv = concat3(It[:], Ic_[:], Ib[:])
-        Pv = concat3(Pt[:], Pc[:], Pb[:])
-        rows_ab = band + 2 * r
+    rows_ab = band + 2 * r
 
-        def mean(x):
-            return _ysum(_xsum(x, ksz, wab_l), ksz, rows_ab) * jnp.float32(coef)
-
-        imu = mean(Iv)
-        pmu = mean(Pv)
-        ipmu = mean(Iv * Pv)
-        iimu = mean(Iv * Iv)
+    def _finish(Iv, imu, pmu, ipmu, iimu, q_ref):
         a = (ipmu - pmu * imu) / (iimu - imu * imu + jnp.float32(eps))
         b = pmu - a * imu
         asum = _ysum(_xsum(a, ksz, wout_l), ksz, band)
         bsum = _ysum(_xsum(b, ksz, wout_l), ksz, band)
         Icen = Iv[2 * r : 2 * r + band, 2 * r : 2 * r + wout_l]
         q_ref[:] = (asum * Icen + bsum) * jnp.float32(coef)
+
+    def mean(x):
+        return _ysum(_xsum(x, ksz, wab_l), ksz, rows_ab) * jnp.float32(coef)
+
+    def kernel(It, Ic_, Ib, Pt, Pc, Pb, q_ref):
+        Iv = concat3(It[:], Ic_[:], Ib[:])
+        Pv = concat3(Pt[:], Pc[:], Pb[:])
+        imu = mean(Iv)
+        pmu = mean(Pv)
+        ipmu = mean(Iv * Pv)
+        iimu = mean(Iv * Iv)
+        _finish(Iv, imu, pmu, ipmu, iimu, q_ref)
+
+    def kernel_self(It, Ic_, Ib, q_ref):
+        Iv = concat3(It[:], Ic_[:], Ib[:])
+        imu = mean(Iv)
+        iimu = mean(Iv * Iv)
+        _finish(Iv, imu, imu, iimu, iimu, q_ref)
 
     def pad_rows(x):
         xr = jnp.pad(x, ((2 * r, 2 * r), (0, 0)), mode=pad_mode(REFLECT101))
@@ -211,7 +226,19 @@ def _guided_strip_onepass(Iseg, pseg, r: int, eps: float):
         pl.BlockSpec((hb, wp), lambda i: ((i + 2) * bpr, 0),
                      memory_space=pltpu.VMEM),
     ]
-    Ip_, Pp_ = pad_rows(Iseg), pad_rows(pseg)
+    Ip_ = pad_rows(Iseg)
+    if self_guided:
+        q = pl.pallas_call(
+            kernel_self,
+            grid=(hp // band,),
+            in_specs=specs,
+            out_specs=pl.BlockSpec((band, wout_l), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((hp, wout_l), jnp.float32),
+            interpret=interpret_mode(),
+        )(Ip_, Ip_, Ip_)
+        return q[:h, :w_out]
+    Pp_ = pad_rows(pseg)
     q = pl.pallas_call(
         kernel,
         grid=(hp // band,),
@@ -224,36 +251,47 @@ def _guided_strip_onepass(Iseg, pseg, r: int, eps: float):
     return q[:h, :w_out]
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "eps", "variant"))
+@functools.partial(
+    jax.jit, static_argnames=("radius", "eps", "variant", "self_guided")
+)
 def guided_filter_pallas(I, p, radius: int, eps: float,
-                         variant: str = "onepass"):
+                         variant: str = "onepass",
+                         self_guided: bool = False):
     """Fused guided filter, reflect-101 border, 1/ksz² normalization
     (the reference hGuidedFilter fast path, guided_filter_d.cu:1047-1093).
 
     variant="onepass" (default): single kernel, a/b recomputed in the row
     halo — 2 reads + 1 write of HBM total. "twopass": the reference's
     gCalcAB/gWeightByABm split with A, B round-tripping through HBM.
+
+    self_guided=True (a static flag — callers detect p-is-I outside the jit
+    boundary) runs the P ≡ I specialization of the one-pass kernel.
     """
     if I.ndim != 2:
         if I.ndim == 3 and I.shape[0] <= 8:  # unroll beats vmap (sep_stencil)
             return jnp.stack([
-                guided_filter_pallas(I[i], p[i], radius, eps, variant)
+                guided_filter_pallas(I[i], p[i], radius, eps, variant,
+                                     self_guided)
                 for i in range(I.shape[0])
             ])
         return jax.vmap(
-            lambda a, b: guided_filter_pallas(a, b, radius, eps, variant)
+            lambda a, b: guided_filter_pallas(a, b, radius, eps, variant,
+                                              self_guided)
         )(I, p)
     I = jnp.asarray(I, jnp.float32)
-    p = jnp.asarray(p, jnp.float32)
+    p = I if self_guided else jnp.asarray(p, jnp.float32)
     h, w = I.shape
     r = radius
     strip_fn = _guided_strip_onepass if variant == "onepass" else _guided_strip
     # x halo once, at 2r depth (pass A consumes r, pass B consumes r more)
     Ix = jnp.pad(I, ((0, 0), (2 * r, 2 * r)), mode=pad_mode(REFLECT101))
-    px = jnp.pad(p, ((0, 0), (2 * r, 2 * r)), mode=pad_mode(REFLECT101))
+    px = Ix if self_guided else jnp.pad(
+        p, ((0, 0), (2 * r, 2 * r)), mode=pad_mode(REFLECT101))
     outs = []
     for x0 in range(0, w, _MAX_STRIP):
         x1 = min(x0 + _MAX_STRIP, w)
         seg = slice(x0, x1 + 4 * r)  # in padded coords: [x0, x1 + 4r)
-        outs.append(strip_fn(Ix[:, seg], px[:, seg], r, eps))
+        Iseg = Ix[:, seg]
+        pseg = Iseg if self_guided else px[:, seg]
+        outs.append(strip_fn(Iseg, pseg, r, eps))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)

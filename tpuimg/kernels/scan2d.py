@@ -44,7 +44,13 @@ re-try without new evidence:
   bias-correction ramp costs more than the f32 converts it saves;
 - Mosaic fails (opaque remote-compile 500) on THREE dot_generals over the
   small (band, ntiles) array in one kernel; two compile fine — hence the
-  12+8-bit two-matmul split for carries rather than three 8-bit parts.
+  12+8-bit two-matmul split for carries rather than three 8-bit parts;
+- lax.Precision.HIGH (3-pass bf16, which would replace the manual hi/lo
+  split at zero VPU cost) is NOT implemented by Mosaic ("Unsupported dot
+  precision: HIGH");
+- 3D (band, nt, 128) BlockSpecs + 3D dot_generals to eliminate both
+  in-kernel reshapes: 0.46 ms (2.5x WORSE) at bands 48/64/96 — Mosaic's
+  3D matmul/layout path costs far more than the two 2D relayouts it saves.
 """
 
 from __future__ import annotations

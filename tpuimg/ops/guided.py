@@ -157,7 +157,6 @@ def box_filter(x, radius: int, border: str = SHRINK):
     return s * jnp.float32(1.0 / (ksz * ksz))
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "eps", "border", "impl"))
 def guided_filter(I, p, radius: int, eps: float, border: str = SHRINK,
                   impl: str = "auto"):
     """Guided filter q = mean(a)·I + mean(b) with a/b from per-channel
@@ -169,7 +168,23 @@ def guided_filter(I, p, radius: int, eps: float, border: str = SHRINK,
     the XLA chain otherwise. (Stacking the four mean inputs into one
     (4, H, W) box call was benchmarked 5x SLOWER on v5e — batched cumsums
     layout poorly; keep the four independent box filters.)
+
+    Passing the same array as both I and p (self-guided edge-preserving
+    smoothing) collapses the four windowed means to two (P ≡ I ⇒
+    mean_p ≡ mean_I, mean_Ip ≡ mean_II) — bitwise-identical output, ~25%
+    faster. Detected by object identity here, outside the jit boundary
+    (inside a trace the duplicated argument becomes two distinct tracers).
     """
+    return _guided_filter_impl(I, p, radius=radius, eps=eps, border=border,
+                               impl=impl, self_guided=p is I)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "eps", "border", "impl", "self_guided"),
+)
+def _guided_filter_impl(I, p, radius: int, eps: float, border: str,
+                        impl: str, self_guided: bool):
     from tpuimg.core.validate import ShapeError, check_image, check_radius
 
     check_radius(radius)
@@ -200,7 +215,7 @@ def guided_filter(I, p, radius: int, eps: float, border: str = SHRINK,
             f"use impl='xla' for the {border!r} class-path semantics"
         )
     I = jnp.asarray(I, jnp.float32)
-    p = jnp.asarray(p, jnp.float32)
+    p = I if self_guided else jnp.asarray(p, jnp.float32)
     if p.ndim == I.ndim + 1:
         # C-channel source with a shared (e.g. gray) guide — the reference's
         # CN1 kernels (gCalcACN1/gCalcBCN1/gLinearTransformCN1,
@@ -211,12 +226,13 @@ def guided_filter(I, p, radius: int, eps: float, border: str = SHRINK,
     if impl == "pallas":
         from tpuimg.kernels.boxsum import guided_filter_pallas
 
-        return guided_filter_pallas(I, p, radius, eps)
+        return guided_filter_pallas(I, p, radius, eps,
+                                    self_guided=self_guided)
     box = functools.partial(box_filter, radius=radius, border=border)
-    mean_p = box(p)
     mean_I = box(I)
-    mean_Ip = box(I * p)
     mean_II = box(I * I)
+    mean_p = mean_I if self_guided else box(p)
+    mean_Ip = mean_II if self_guided else box(I * p)
     a = (mean_Ip - mean_p * mean_I) / (mean_II - mean_I * mean_I + jnp.float32(eps))
     b = mean_p - a * mean_I
     return box(a) * I + box(b)
