@@ -72,6 +72,19 @@ def test_guided_sharded_matches_local(rng, mesh):
         assert np.abs(out - ref).max() < 1e-5, r
 
 
+def test_guided_sharded_self_guided(rng, mesh):
+    # p-is-I routes through the single-exchange 2-mean specialization
+    from tpuimg import guided_filter
+
+    I = rng.random((64, 96), dtype=np.float32)
+    op = guided_filter_sharded(mesh, 4, 1e-3)
+    Is = shard_rows(mesh, I)
+    out = np.asarray(jax.jit(op)(Is, Is))
+    ref = np.asarray(guided_filter(I, I.copy(), 4, 1e-3, border=REFLECT101,
+                                   impl="xla"))
+    assert np.abs(out - ref).max() < 1e-5
+
+
 def test_clahe_sharded_matches_local(rng, mesh):
     from tpuimg import clahe
 

@@ -120,16 +120,19 @@ def guided_ypadded(Ipad, ppad, radius: int, eps: float):
     r = radius
     ksz = 2 * r + 1
     coef = jnp.float32(1.0 / (ksz * ksz))
+    self_guided = ppad is Ipad  # same collapse as guided_filter (P ≡ I)
     pad = [(0, 0)] * (Ipad.ndim - 1) + [(2 * r, 2 * r)]
     I2 = jnp.pad(jnp.asarray(Ipad, jnp.float32), pad, mode=pad_mode(REFLECT101))
-    p2 = jnp.pad(jnp.asarray(ppad, jnp.float32), pad, mode=pad_mode(REFLECT101))
+    p2 = I2 if self_guided else jnp.pad(
+        jnp.asarray(ppad, jnp.float32), pad, mode=pad_mode(REFLECT101))
 
     def box(x):  # consumes r prepadded taps per side on both trailing axes
         s = _window_sum(x, r, x.ndim - 1, None)
         return _window_sum(s, r, x.ndim - 2, None) * coef
 
-    mean_I, mean_p = box(I2), box(p2)
-    mean_Ip, mean_II = box(I2 * p2), box(I2 * I2)
+    mean_I, mean_II = box(I2), box(I2 * I2)
+    mean_p = mean_I if self_guided else box(p2)
+    mean_Ip = mean_II if self_guided else box(I2 * p2)
     a = (mean_Ip - mean_p * mean_I) / (
         mean_II - mean_I * mean_I + jnp.float32(eps))
     b = mean_p - a * mean_I

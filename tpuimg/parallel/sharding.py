@@ -168,6 +168,16 @@ def guided_filter_sharded(mesh: Mesh, radius: int, eps: float):
 
     def run(I, p):
         spec = _spec(I.ndim)
+        if p is I:  # self-guided: one halo exchange, 2-mean collapse
+
+            @functools.partial(
+                jax.shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec
+            )
+            def inner_self(Ib):
+                Ip = _halo_exchange(Ib, 2 * radius, n_sp, "sp", "reflect101")
+                return guided_ypadded(Ip, Ip, radius, eps)
+
+            return inner_self(I)
 
         @functools.partial(
             jax.shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=spec
