@@ -19,8 +19,12 @@ stages = [
     ("clahe", lambda x: tpuimg.clahe(x, 2.0, 8, 8)),
     ("to_f32+gaussian", lambda x: tpuimg.gaussian(
         x.astype(jnp.float32) / 255.0, 2, 1.5)),
+    # x + 0.0 forces a distinct source tracer: the pipeline's guided stage
+    # runs the GENERAL path (guide f != source smooth), not the self-guided
+    # fast path, so the stage must measure the same path
     ("guided_r8+to_u8", lambda x: jnp.clip(jnp.rint(tpuimg.guided_filter(
-        x, x, 8, 1e-3, border="reflect101") * 255.0), 0, 255).astype(jnp.uint8)),
+        x, x + jnp.float32(0.0), 8, 1e-3, border="reflect101") * 255.0),
+        0, 255).astype(jnp.uint8)),
 ]
 times = stage_times(stages, img, iters=24)
 times["enhance_jit"] = __import__("tpuimg.core.timing", fromlist=["time_stream_fn"]) \

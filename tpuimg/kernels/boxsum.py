@@ -14,6 +14,12 @@ pass A is one read of (I, P) and one write of (A, B).
 Wide images are processed in column strips of ≤ 2048 output columns, each
 carrying a 2r-deep x halo so pass A → pass B compose exactly (the Mosaic
 compiler rejects ~4K-lane blocks for this kernel; strips also bound VMEM).
+
+Measured dead end (v5e, r=8 4K self-guided): offloading the y-direction
+window sums to the MXU as banded-ones bf16 matmuls — 0.63 ms with the
+hi/lo operand split needed for f32 accuracy (vs 0.59 VPU), and 0.57 ms
+unsplit but with 3.5e-3 error, over the 1e-3 contract. The VPU log-depth
+ladders (kernels/window.py) stay.
 """
 
 from __future__ import annotations

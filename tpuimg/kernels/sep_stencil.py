@@ -259,10 +259,14 @@ def gaussian_pallas(img, radius: int, sigma: float):
         jnp.asarray(img))
 
 
-# compute dtype for u8 morphology: Mosaic rejects u8-native blocks for this
-# kernel shape (probed round 2), so widen minimally — bf16 halves the VMEM
-# and HBM traffic of the round-1 int32 widening, and min/max over integers
-# <= 255 is bf16-exact
+# compute dtype for u8 morphology: Mosaic rejects u8-native MIN/MAX blocks
+# for this kernel shape (probed round 2), so widen minimally — bf16 halves
+# the VMEM and HBM traffic of the round-1 int32 widening, and min/max over
+# integers <= 255 is bf16-exact. u8 BLOCKS with an in-kernel cast to bf16
+# (skipping the XLA widen/narrow passes entirely) DO compile and are exact,
+# but measured no faster: open r15 batch2 0.870 -> 0.848 ms (noise), single
+# erode r15 0.280 -> 0.302 ms (WORSE) — XLA already fuses the widen into
+# the pad and the kernel is VPU-bound; keep the simpler widened form.
 _U8_WIDEN = jnp.bfloat16
 
 
