@@ -51,3 +51,11 @@ def test_guided_self_guide_specialization_bitwise(rng):
         fast = np.asarray(guided_filter(I, I, 8, 1e-3, border=border))
         general = np.asarray(guided_filter(I, I.copy(), 8, 1e-3, border=border))
         assert np.abs(fast - general).max() < 1e-6
+
+
+@pytest.mark.parametrize("radius", [1, 4, 12])
+def test_guided_self_guide_radii(rng, radius):
+    I = rng.random((80, 140), dtype=np.float32)
+    out = np.asarray(guided_filter(I, I, radius, 1e-2, border="reflect101"))
+    ref = guided_filter_ref(I, I, radius, 1e-2, border="reflect101")
+    assert np.abs(out - ref).max() < 1e-3

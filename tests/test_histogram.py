@@ -71,3 +71,13 @@ def test_hist_equalize_batched_per_frame(rng):
     out = np.asarray(hist_equalize(batch))
     np.testing.assert_array_equal(out[0], hist_equalize_ref(dark))
     np.testing.assert_array_equal(out[1], hist_equalize_ref(bright))
+
+
+def test_clahe_16x16_grid(rng):
+    # the single-kernel-per-band mapping must hold at a 16x16 tile grid
+    # (VERDICT round 1 #7: compile/dispatch must not blow up with the grid)
+    img = rng.integers(0, 256, (256, 384), dtype=np.uint8)
+    out = np.asarray(clahe(img, clip_limit=4.0, xtiles=16, ytiles=16))
+    ref = clahe_ref(img, 4.0, 16, 16)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+    assert (out != ref).mean() < 0.01
