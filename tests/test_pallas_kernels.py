@@ -1,6 +1,7 @@
 """Pallas kernel parity (interpreter mode on the CPU backend — SURVEY.md §5
 "keep interpret-mode Pallas tests")."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -142,3 +143,4 @@ def test_clahe_gather_map_exact(rng):
     out = np.asarray(clahe(img, 30.0, 5, 3, impl="pallas"))
     ref = clahe_ref(img, 30.0, 5, 3)
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+

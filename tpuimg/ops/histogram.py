@@ -55,6 +55,20 @@ def _hist_groups(flat2d):
     return hist256_tiled(flat2d)
 
 
+def _hist_tiles(ext, ytiles: int, xtiles: int, th: int, tw: int):
+    """Per-tile histograms of the (ytiles*th, xtiles*tw) extension:
+    regroup transpose + the grouped hist kernel.
+
+    A transpose-free variant (pad tiles to aligned blocks with free
+    reshapes + fused zero pads, 2D tile grid reading each tile block
+    directly) measured SLOWER on v5e — 0.67 vs 0.63 ms total CLAHE at 4K
+    8x8: the 64-step small-block grid and per-tile (th_p, tw_p) flatten
+    relayouts cost more than the one regroup copy they replace. Keep the
+    transpose."""
+    tiles = ext.reshape(ytiles, th, xtiles, tw).transpose(0, 2, 1, 3)
+    return _hist_groups(tiles.reshape(ytiles * xtiles, th * tw))
+
+
 def bincount256(x, per_leading: bool = False):
     """256-bin histogram(s) of a uint8 array.
 
@@ -217,8 +231,7 @@ def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
     ext = jnp.concatenate(
         [jnp.flip(ext[:, 1 : pad_left + 1], axis=1), ext,
          jnp.flip(ext[:, w - 1 - pad_right : w - 1], axis=1)], axis=1)
-    tiles = ext.reshape(ytiles, th, xtiles, tw).transpose(0, 2, 1, 3)
-    hists = _hist_groups(tiles.reshape(ytiles * xtiles, th * tw))
+    hists = _hist_tiles(ext, ytiles, xtiles, th, tw)
 
     # --- clip limit (clahe.cpp:87) + redistribute ---
     limit = int(tw * th * clip_limit / 256 + 0.5)
