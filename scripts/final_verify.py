@@ -37,4 +37,10 @@ p(f"batched HE per-frame exact: {ok}")
 # on-device metric on integral-scale values
 ii = tpuimg.integral(gray)
 p(f"on-device maxdiff(ii, ii): {int(max_abs_diff(ii, ii))}")
+# worst-case carry magnitude: all-255 8K-wide frame. The cross-tile row
+# carry reaches W*255 ≈ 2^21 here — the regime where a DEFAULT-precision
+# carry matmul silently truncates (round-2 review finding); must be exact.
+wide = np.full((256, 7680), 255, np.uint8)
+p(f"integral 8K-wide all-255 exact: "
+  f"{np.array_equal(np.asarray(tpuimg.integral(wide)), integral_ref(wide))}")
 p("DONE")

@@ -73,13 +73,15 @@ def test_guided_sharded_matches_local(rng, mesh):
 
 
 def test_guided_sharded_self_guided(rng, mesh):
-    # p-is-I routes through the single-exchange 2-mean specialization
+    # the static factory flag routes through the single-exchange 2-mean
+    # specialization even under jit (object identity is lost inside a
+    # trace, so `jit(op)(Is, Is)` alone can NOT reach the fast path)
     from tpuimg import guided_filter
 
     I = rng.random((64, 96), dtype=np.float32)
-    op = guided_filter_sharded(mesh, 4, 1e-3)
+    op = guided_filter_sharded(mesh, 4, 1e-3, self_guided=True)
     Is = shard_rows(mesh, I)
-    out = np.asarray(jax.jit(op)(Is, Is))
+    out = np.asarray(jax.jit(op)(Is))
     ref = np.asarray(guided_filter(I, I.copy(), 4, 1e-3, border=REFLECT101,
                                    impl="xla"))
     assert np.abs(out - ref).max() < 1e-5

@@ -225,8 +225,10 @@ def cmd_morphology(args):
     ops = {
         "erode": (tpuimg.erode, erode_ref),
         "dilate": (tpuimg.dilate, dilate_ref),
-        "open": (lambda v, r, impl="xla": tpuimg.morph_open(v, r), open_ref),
-        "close": (lambda v, r, impl="xla": tpuimg.morph_close(v, r), close_ref),
+        # impl must reach the op: dropping it here mislabeled the CLI's
+        # "[xla]" open/close rows as XLA while running the auto (Pallas) path
+        "open": (tpuimg.morph_open, open_ref),
+        "close": (tpuimg.morph_close, close_ref),
     }
     from tpuimg.core.params import MorphConfig
 
@@ -259,7 +261,7 @@ def cmd_morphology(args):
     x = jnp.asarray(img)
     ok = True
     # the doubling-window Pallas engine covers every radius (round 2)
-    impls = ("xla", "pallas") if name in ("erode", "dilate") else ("xla",)
+    impls = ("xla", "pallas")
     for impl in impls:
         fn = lambda v: op(v, cfg.radius, impl=impl)
         out = np.asarray(fn(x))
@@ -409,7 +411,9 @@ def main(argv=None):
 
     a = sub.add_parser("integral-autotest")
     a.add_argument("--runs", type=int, default=10)
-    a.add_argument("--max-size", type=int, default=2000)
+    # 6000 matches the reference autoTestDemo range (Integral/main.cpp:193)
+    # and covers the wide-frame carry regime (carry > 2^20 beyond 4224 px)
+    a.add_argument("--max-size", type=int, default=6000)
     a.add_argument("--seed", type=int, default=0)
     a.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
     a.set_defaults(fn=cmd_integral_autotest)

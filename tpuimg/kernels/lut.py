@@ -49,17 +49,13 @@ def _gather256(tab_lo, tab_hi, idx, rows):
 
 
 def _lut_kernel(tab_ref, x_ref, o_ref):
+    # i32 output only: u8 tables take the packed-byte kernel below, so this
+    # path serves int/bitcast-float tables (output narrowed by the caller)
     rows, wp = x_ref.shape
     for t in range(wp // 128):
         ts = slice(t * 128, (t + 1) * 128)
         idx = x_ref[:, ts].astype(jnp.int32)
-        val = _gather256(tab_ref[0:1, :], tab_ref[1:2, :], idx, rows)
-        if o_ref.dtype == jnp.uint8:
-            # write u8 directly (4x less HBM than an i32 buffer at 4K);
-            # Mosaic needs the i32 staging cast
-            o_ref[:, ts] = val.astype(jnp.int32).astype(jnp.uint8)
-        else:
-            o_ref[:, ts] = val.astype(o_ref.dtype)
+        o_ref[:, ts] = _gather256(tab_ref[0:1, :], tab_ref[1:2, :], idx, rows)
 
 
 def _lut_kernel_packed(tab_ref, x_ref, o_ref):

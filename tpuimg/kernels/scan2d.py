@@ -18,10 +18,12 @@ BOTH scan directions run as triangular matmuls on the MXU, none on the VPU:
   operands to bf16 (8 mantissa bits), so the row-scanned values are split
   into bf16-exact halves hi = ⌊r/256⌋ < 2^7 and lo = r − 256·hi < 2^8 and
   scanned by two DEFAULT matmuls (partial sums < 2^22 stay f32-exact);
-  recombined with one FMA, still f32-exact.  The cross-tile carry (< 2^20)
-  is column-scanned separately — by linearity colscan(intile + tc) =
-  colscan(intile) + colscan(tc) — as a 12-bit HIGHEST + 8-bit DEFAULT pair
-  on the tiny (band, ntiles) array.
+  recombined with one FMA, still f32-exact.  The cross-tile carry (< W·255,
+  up to 2^21 at 8K) is column-scanned separately — by linearity
+  colscan(intile + tc) = colscan(intile) + colscan(tc) — as a low-12-bit /
+  high-part pair of HIGHEST-precision matmuls on the tiny (band, ntiles)
+  array (HIGHEST on both: the high part exceeds the bf16-exact 2^8 beyond
+  width 4224, so a DEFAULT matmul there silently corrupts wide frames).
 - the running cross-band carry lives in a (1, W) VMEM scratch across the
   sequential band grid — the reference's "scan of tile carries" at band
   radix, with zero extra HBM traffic.
@@ -108,10 +110,16 @@ def _fused_scan_kernel(x_ref, o_ref, carry):
     shi = jax.lax.dot_general(L, hi, _ARGS, preferred_element_type=jnp.float32)
     slo = jax.lax.dot_general(L, lo, _ARGS, preferred_element_type=jnp.float32)
     s2d = shi * 256.0 + slo             # < 2^22, f32-exact
-    # column scan of the tiny carry: 8-bit DEFAULT + 12-bit HIGHEST parts
+    # column scan of the tiny carry, split 12 low bits / the rest. BOTH
+    # matmuls run HIGHEST precision: tc < W·255 (2^21 at 8K), so the high
+    # part reaches 2^9 — beyond the bf16-exact 2^8 a DEFAULT matmul
+    # truncates operands to (silent corruption for widths > 4224, caught in
+    # round-2 review; exact now for any W < 4M). Cost: negligible — these
+    # operate on the tiny (band, ntiles) array.
     th = jnp.floor(tc * (1.0 / 4096.0))
     tl = tc - th * 4096.0
-    sth = jax.lax.dot_general(L, th, _ARGS, preferred_element_type=jnp.float32)
+    sth = jax.lax.dot_general(L, th, _ARGS, precision=_HI,
+                              preferred_element_type=jnp.float32)
     stl = jax.lax.dot_general(L, tl, _ARGS, precision=_HI,
                               preferred_element_type=jnp.float32)
     tc2d = (sth.astype(jnp.int32) << 12) + stl.astype(jnp.int32)

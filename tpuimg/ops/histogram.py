@@ -200,10 +200,12 @@ def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
 
     impl="auto": the bilinear mapping runs as the lane-dynamic-gather Pallas
     kernel (kernels/lut.py) on TPU, or the one-hot einsum form on CPU."""
-    img = jnp.asarray(img, jnp.uint8)
     from tpuimg.core.validate import ShapeError, check_image
 
-    check_image(img, "img")
+    img = jnp.asarray(img)
+    # uint8 only — a silent jnp.asarray(img, uint8) would turn a [0,1] float
+    # image into near-zeros (same contract as hist_equalize)
+    check_image(img, "img", dtypes=[jnp.uint8])
     if img.ndim != 2:
         raise ShapeError(
             f"clahe operates on a single (H, W) image, got shape "

@@ -70,14 +70,19 @@ def _halo_exchange(block, radius: int, n: int, axis_name: str, border: str):
 
     Outer shards fall back to the local border policy — equivalent to padding
     the full image and then sharding, provided each shard holds ≥ radius rows
-    (checked: a thinner shard would need second-neighbor data and the single
-    ppermute would silently corrupt the result).
+    (≥ radius+1 for reflect borders: a full-image reflect-101 pad reads rows
+    1..radius, which must all live in the edge shard — and jnp.pad "reflect"
+    with pad == dim silently multi-reflects rather than erroring). A thinner
+    shard would need second-neighbor data and the single ppermute would
+    silently corrupt the result, so both cases raise.
     """
-    if n > 1 and block.shape[-2] < radius:
+    min_rows = radius + 1 if pad_mode(border) == "reflect" else radius
+    if n > 1 and block.shape[-2] < min_rows:
         raise ValueError(
-            f"row shard holds {block.shape[-2]} rows < radius {radius}: "
-            f"halo exchange needs every shard to cover the stencil reach "
-            f"(use fewer sp shards or a smaller radius)"
+            f"row shard holds {block.shape[-2]} rows < {min_rows} "
+            f"(radius {radius}, border {border!r}): halo exchange needs "
+            f"every shard to cover the stencil reach (use fewer sp shards "
+            f"or a smaller radius)"
         )
     pad_cfg = [(0, 0)] * (block.ndim - 2) + [(radius, radius), (0, 0)]
     local = jnp.pad(block, pad_cfg, mode=pad_mode(border))
@@ -153,7 +158,8 @@ def integral_sharded(mesh: Mesh):
     return run
 
 
-def guided_filter_sharded(mesh: Mesh, radius: int, eps: float):
+def guided_filter_sharded(mesh: Mesh, radius: int, eps: float,
+                          self_guided: bool = False):
     """Row-sharded guided filter (reflect-101 fused-path semantics).
 
     The fused chain consumes a 2*radius halo: pass 1's windowed means of
@@ -161,14 +167,20 @@ def guided_filter_sharded(mesh: Mesh, radius: int, eps: float):
     ``radius`` more (the reference's gCalcAB + gWeightByABm reach,
     GuidedFilter/guided_filter_d.cu:421-858). One ppermute halo exchange of
     2r rows per input, then the whole chain runs shard-local.
+
+    ``self_guided=True`` builds the P ≡ I specialization: one halo exchange
+    and the 2-mean collapse; call the returned fn as ``run(I)``. The flag is
+    factory-level (static) because object identity cannot be detected inside
+    a jitted call — duplicated arguments become distinct tracers. Unjitted
+    calls with ``p is I`` also take the fast path.
     """
     from tpuimg.ops.guided import guided_ypadded
 
     n_sp = mesh.shape["sp"]
 
-    def run(I, p):
+    def run(I, p=None):
         spec = _spec(I.ndim)
-        if p is I:  # self-guided: one halo exchange, 2-mean collapse
+        if self_guided or p is None or p is I:
 
             @functools.partial(
                 jax.shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec

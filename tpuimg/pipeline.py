@@ -35,7 +35,10 @@ def enhance(
     gf_eps: float = 1e-3,
 ):
     """Contrast-enhance + denoise a uint8 (H, W) frame, edges preserved."""
-    img = jnp.asarray(img, jnp.uint8)
+    from tpuimg.core.validate import check_image
+
+    img = jnp.asarray(img)
+    check_image(img, "img", dtypes=[jnp.uint8])
     eq = clahe(img, clip_limit, tiles, tiles)
     f = eq.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     smooth = gaussian(f, radius, sigma)
