@@ -114,8 +114,10 @@ def _fused_scan_kernel(x_ref, o_ref, carry):
     # matmuls run HIGHEST precision: tc < W·255 (2^21 at 8K), so the high
     # part reaches 2^9 — beyond the bf16-exact 2^8 a DEFAULT matmul
     # truncates operands to (silent corruption for widths > 4224, caught in
-    # round-2 review; exact now for any W < 4M). Cost: negligible — these
-    # operate on the tiny (band, ntiles) array.
+    # round-2 review). Exactness now holds while tc itself stays f32-exact,
+    # i.e. W·255 < 2^24 → W ≤ ~65K; (band, W) VMEM blocks stop compiling
+    # near W≈20K anyway, so the arithmetic bound is not the binding one —
+    # but a column-strip variant would have to revisit it.
     th = jnp.floor(tc * (1.0 / 4096.0))
     tl = tc - th * 4096.0
     sth = jax.lax.dot_general(L, th, _ARGS, precision=_HI,

@@ -180,6 +180,12 @@ def guided_filter_sharded(mesh: Mesh, radius: int, eps: float,
 
     def run(I, p=None):
         spec = _spec(I.ndim)
+        if self_guided and p is not None and p is not I:
+            raise ValueError(
+                "guided_filter_sharded(self_guided=True) got a distinct "
+                "source p — it would be silently ignored; build the op "
+                "without self_guided for a separate guide/source pair"
+            )
         if self_guided or p is None or p is I:
 
             @functools.partial(

@@ -34,11 +34,11 @@ def enhance(
     gf_radius: int = 8,
     gf_eps: float = 1e-3,
 ):
-    """Contrast-enhance + denoise a uint8 (H, W) frame, edges preserved."""
-    from tpuimg.core.validate import check_image
+    """Contrast-enhance + denoise a uint8 (H, W) frame, edges preserved.
 
+    Input validation (uint8-only, typed error on floats) happens in the
+    first stage — clahe checks the same array immediately."""
     img = jnp.asarray(img)
-    check_image(img, "img", dtypes=[jnp.uint8])
     eq = clahe(img, clip_limit, tiles, tiles)
     f = eq.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     smooth = gaussian(f, radius, sigma)
