@@ -81,3 +81,19 @@ def test_clahe_16x16_grid(rng):
     ref = clahe_ref(img, 4.0, 16, 16)
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
     assert (out != ref).mean() < 0.01
+
+
+def test_apply_lut_wide_integer_tables():
+    # bf16 one-hot selection is only exact for 8-bit entries; wider integer
+    # tables (e.g. CDF counts) must come back exact too (round-2 review:
+    # 257 rounded to 256 through the bf16 path)
+    from tpuimg.ops.histogram import apply_lut
+
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    for table in [
+        (np.arange(256, dtype=np.int32) * 257),          # > 255 entries
+        (np.arange(256, dtype=np.int32) * -70000),       # negative, > 2^24
+        (np.arange(256, dtype=np.uint16) * 256),
+    ]:
+        out = np.asarray(apply_lut(table, img))
+        np.testing.assert_array_equal(out, table[img.ravel()].reshape(16, 16))

@@ -101,6 +101,20 @@ def test_clahe_sharded_matches_local(rng, mesh):
         assert d <= 1, (xt, yt, clip, d)  # fma/ordering tolerance
 
 
+def test_clahe_sharded_pad_spans_tiles(rng, mesh):
+    # dense grid on a short image: th=3, pad_top=6 >= th, so the reflect
+    # extension rows span multiple y-tiles (round-2 review: they were all
+    # credited to tile 0 / ytiles-1, maxdiff 128 vs local)
+    from tpuimg import clahe
+
+    img = rng.integers(0, 256, (36, 64), dtype=np.uint8)
+    op = clahe_sharded(mesh, 4.0, 4, 16)
+    out = np.asarray(jax.jit(op)(shard_rows(mesh, img)))
+    ref = np.asarray(clahe(img, 4.0, 4, 16, impl="xla"))
+    d = np.abs(out.astype(int) - ref.astype(int)).max()
+    assert d <= 1, d
+
+
 def test_halo_exchange_rejects_thin_shards(rng, mesh):
     img = rng.random((16, 96), dtype=np.float32)  # 4 rows/shard < radius 6
     op = stencil_sharded(

@@ -111,3 +111,33 @@ def test_clahe_vmap_works(rng):
     for i in range(2):
         ref = clahe_ref(imgs[i], 2.0, 4, 4)
         assert np.abs(out[i].astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_check_radius_numpy_int_and_bool():
+    from tpuimg.core.validate import ParamError, check_radius
+
+    check_radius(np.int64(3))  # config/sweep values are valid radii
+    with pytest.raises(ParamError):
+        check_radius(True)  # bool is an int subclass but not a radius
+    with pytest.raises(ParamError):
+        check_radius(0)
+
+
+def test_impl_typo_raises():
+    from tpuimg.core.validate import ParamError
+    from tpuimg import gaussian, hist_equalize
+
+    img = np.zeros((16, 16), np.float32)
+    with pytest.raises(ParamError):
+        gaussian(img, 2, 1.0, impl="palas")
+    with pytest.raises(ParamError):
+        hist_equalize(np.zeros((16, 16), np.uint8), impl="cuda")
+
+
+def test_guided_eps_must_be_positive():
+    from tpuimg.core.validate import ParamError
+    from tpuimg import guided_filter
+
+    I = np.random.default_rng(0).random((16, 16), np.float32).astype(np.float32)
+    with pytest.raises(ParamError):
+        guided_filter(I, I, 2, 0.0)

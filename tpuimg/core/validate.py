@@ -46,10 +46,24 @@ def check_image(x, name: str = "img", min_ndim: int = 2, dtypes=None):
 
 
 def check_radius(radius: int, lo: int = 1, name: str = "radius"):
-    if not isinstance(radius, int) or radius < lo:
+    # bool is an int subclass (True would pass as radius 1); NumPy integer
+    # scalars (np.int64 from configs/sweeps) are valid radii
+    import numpy as _np
+
+    if (isinstance(radius, bool) or not isinstance(radius, (int, _np.integer))
+            or radius < lo):
         raise ParamError(f"{name} must be an int >= {lo}, got {radius!r}")
 
 
 def check_positive(value, name: str):
     if value <= 0:
         raise ParamError(f"{name} must be positive, got {value!r}")
+
+
+def check_impl(impl: str, allowed=("auto", "xla", "pallas"),
+               name: str = "impl"):
+    """Reject misspelled impl selectors: every dispatch is
+    'if impl == "pallas": ... else xla', so a typo would silently run the
+    wrong implementation."""
+    if impl not in allowed:
+        raise ParamError(f"{name} must be one of {allowed}, got {impl!r}")

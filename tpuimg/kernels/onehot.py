@@ -74,11 +74,27 @@ def lut_apply(table, x):
     matmuls run in the table's dtype.
     """
     table = jnp.asarray(table)
-    if table.dtype == jnp.uint8 or jnp.issubdtype(table.dtype, jnp.integer):
+    if table.dtype in (jnp.uint8, jnp.int8):
+        # 8-bit entries are bf16-exact; wider ints are NOT (bf16 has 8
+        # mantissa bits — e.g. 257 rounds to 256, round-2 review finding)
         T = table.astype(jnp.bfloat16).reshape(16, 16)
         oh_hi, oh_lo = onehot_nibbles(x, jnp.bfloat16)
         mid = jnp.einsum("...a,ab->...b", oh_hi, T)
         val = jnp.sum(mid * oh_lo, axis=-1)
+        return val.astype(table.dtype)
+    if jnp.issubdtype(table.dtype, jnp.integer):
+        # wider integer tables: select each 16-bit half exactly through
+        # HIGHEST-precision f32 (halves < 2^16 << 2^24) and recombine in
+        # int32 — exact for the full int32 range incl. negatives
+        t32 = table.astype(jnp.int32)
+        oh_hi, oh_lo = onehot_nibbles(x, jnp.float32)
+
+        def select(half):
+            T = half.astype(jnp.float32).reshape(16, 16)
+            mid = jnp.einsum("...a,ab->...b", oh_hi, T, precision="highest")
+            return jnp.sum(mid * oh_lo, axis=-1).astype(jnp.int32)
+
+        val = (select(t32 >> 16) << 16) + select(t32 & 0xFFFF)
         return val.astype(table.dtype)
     T = table.astype(jnp.float32).reshape(16, 16)
     oh_hi, oh_lo = onehot_nibbles(x, jnp.float32)

@@ -120,7 +120,11 @@ def _fused_scan_kernel(x_ref, o_ref, carry):
     # but a column-strip variant would have to revisit it.
     th = jnp.floor(tc * (1.0 / 4096.0))
     tl = tc - th * 4096.0
-    sth = jax.lax.dot_general(L, th, _ARGS, precision=_HI,
+    # wp is static: th = floor(tc/4096) < wp·255/4096 stays bf16-exact
+    # (≤ 256) for wp ≤ 4096, where the cheaper DEFAULT matmul is safe —
+    # measured ~3% of the op at 4K. Wider frames pay HIGHEST.
+    hi_prec = None if wp <= 4096 else _HI
+    sth = jax.lax.dot_general(L, th, _ARGS, precision=hi_prec,
                               preferred_element_type=jnp.float32)
     stl = jax.lax.dot_general(L, tl, _ARGS, precision=_HI,
                               preferred_element_type=jnp.float32)

@@ -49,7 +49,7 @@ def _halo_unit(dtype) -> int:
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _pick_band(h: int, wp: int, dtype, radius: int) -> int:
+def _pick_band(h: int, wp: int, dtype) -> int:
     """Row band sized to the VMEM budget: ~3 double-buffered input streams,
     one output stream, and the (band+2r, wp) intermediate must fit."""
     hu = _halo_unit(dtype)
@@ -107,7 +107,7 @@ def _sep_stencil(img, radius: int, weights, is_min: bool, border: str):
     wp = round_up(wout + 2 * r, 128)
     hu = _halo_unit(img.dtype)
     hb = round_up(max(r, 1), hu)
-    band = round_up(max(_pick_band(h, wp, img.dtype, r), hb), hb)
+    band = round_up(max(_pick_band(h, wp, img.dtype), hb), hb)
     hp = round_up(h, band)
 
     # reflect/replicate halo + alignment padding (values in the alignment
@@ -196,7 +196,7 @@ def _open_close(img, radius: int, first_min: bool):
     wp = round_up(wout + 4 * r, 128)
     hu = _halo_unit(img.dtype)
     hb = round_up(2 * r, hu)
-    band = round_up(max(_pick_band(h, wp, img.dtype, 2 * r), hb), hb)
+    band = round_up(max(_pick_band(h, wp, img.dtype), hb), hb)
     hp = round_up(h, band)
 
     x = jnp.pad(img, ((2 * r, 2 * r), (2 * r, 2 * r)), mode="edge")

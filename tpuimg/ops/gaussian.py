@@ -61,10 +61,10 @@ def gaussian(img, radius: int, sigma: float, impl: str = "xla"):
 
     Matches reference output of every kernel in the gaussian.cu ladder.
     """
-    if radius < 1:
-        raise ValueError(f"radius must be >= 1, got {radius}")
-    from tpuimg.core.validate import check_image
+    from tpuimg.core.validate import check_image, check_impl, check_radius
 
+    check_radius(radius)
+    check_impl(impl, allowed=("xla", "pallas"))
     check_image(img, "img")
     if impl == "pallas":
         from tpuimg.kernels.sep_stencil import gaussian_pallas

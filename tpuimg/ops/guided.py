@@ -188,9 +188,12 @@ def guided_filter(I, p, radius: int, eps: float, border: str = SHRINK,
 )
 def _guided_filter_impl(I, p, radius: int, eps: float, border: str,
                         impl: str, self_guided: bool):
-    from tpuimg.core.validate import ShapeError, check_image, check_radius
+    from tpuimg.core.validate import (
+        ShapeError, check_image, check_impl, check_positive, check_radius)
 
     check_radius(radius)
+    check_positive(eps, "eps")  # eps=0 gives 0/0=NaN on constant windows
+    check_impl(impl)
     check_image(I, "I", dtypes=[jnp.float32, jnp.float64, jnp.uint8])
     check_image(p, "p", dtypes=[jnp.float32, jnp.float64, jnp.uint8])
     if p.ndim not in (I.ndim, I.ndim + 1) or p.shape[-2:] != I.shape[-2:]:

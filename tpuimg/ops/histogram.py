@@ -95,12 +95,15 @@ def hist_equalize(img, impl: str = "auto"):
     implement the intended algorithm (matches cv::equalizeHist within 2 gray
     levels; see .claude/skills/verify/SKILL.md).
     """
-    from tpuimg.core.validate import check_image
+    from tpuimg.core.validate import check_image, check_impl
 
     img = jnp.asarray(img)
     # uint8 only: a silent jnp.asarray(img, uint8) would turn a [0,1] float
     # image into near-zeros (round-1 advisor finding)
     check_image(img, "img", dtypes=[jnp.uint8])
+    check_impl(impl)
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
     if img.ndim > 2:
         # per-frame semantics over leading batch dims (one histogram/LUT per
         # image, like the reference's per-call behavior and
@@ -108,13 +111,18 @@ def hist_equalize(img, impl: str = "auto"):
         lead = img.shape[:-2]
         per_image = img.shape[-2] * img.shape[-1]
         flat = img.reshape((-1,) + img.shape[-2:])
-        hists = _hist_groups(flat.reshape(flat.shape[0], -1))  # (B, 256)
+        if impl == "pallas":
+            from tpuimg.kernels.hist import hist256_groups_pallas
+
+            hists = hist256_groups_pallas(flat.reshape(flat.shape[0], -1))
+        else:
+            hists = hist256_tiled(flat.reshape(flat.shape[0], -1))
         cdfs = jnp.cumsum(hists, axis=-1).astype(jnp.float32)
         factor = jnp.float32(256.0 / per_image)
         tables = jnp.rint(
             jnp.minimum(jnp.float32(255.0), cdfs * factor)
         ).astype(jnp.uint8)
-        if _on_tpu() and flat.shape[0] <= 8:
+        if impl == "pallas" and flat.shape[0] <= 8:
             # per-frame Pallas lane dynamic-gather (same path as 2D HE);
             # unrolled calls beat vmap on the band kernels (sep_stencil)
             from tpuimg.kernels.lut import lut_gather
@@ -125,8 +133,6 @@ def hist_equalize(img, impl: str = "auto"):
         else:
             out = jax.vmap(lut_apply)(tables, flat)
         return out.reshape(lead + img.shape[-2:])
-    if impl == "auto":
-        impl = "pallas" if _on_tpu() else "xla"
     if impl == "pallas":
         from tpuimg.kernels.hist import hist256_pallas
 
@@ -200,12 +206,13 @@ def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
 
     impl="auto": the bilinear mapping runs as the lane-dynamic-gather Pallas
     kernel (kernels/lut.py) on TPU, or the one-hot einsum form on CPU."""
-    from tpuimg.core.validate import ShapeError, check_image
+    from tpuimg.core.validate import ShapeError, check_image, check_impl
 
     img = jnp.asarray(img)
     # uint8 only — a silent jnp.asarray(img, uint8) would turn a [0,1] float
     # image into near-zeros (same contract as hist_equalize)
     check_image(img, "img", dtypes=[jnp.uint8])
+    check_impl(impl)
     if img.ndim != 2:
         raise ShapeError(
             f"clahe operates on a single (H, W) image, got shape "

@@ -79,9 +79,10 @@ _PALLAS_MIN_RADIUS = 5
 
 
 def _morph(img, radius: int, mode: int, impl: str = "auto"):
-    from tpuimg.core.validate import check_image, check_radius
+    from tpuimg.core.validate import check_image, check_impl, check_radius
 
     check_radius(radius)
+    check_impl(impl)
     check_image(img, "img", dtypes=[jnp.uint8, jnp.int32, jnp.float32])
     if impl == "auto":
         impl = (
@@ -136,9 +137,10 @@ def dilate(img, radius: int, impl: str = "auto"):
 
 
 def _open_close(img, radius: int, mode: int, impl: str):
-    from tpuimg.core.validate import check_image, check_radius
+    from tpuimg.core.validate import check_image, check_impl, check_radius
 
     check_radius(radius)
+    check_impl(impl)
     check_image(img, "img", dtypes=[jnp.uint8, jnp.int32, jnp.float32])
     if impl == "auto":
         impl = (

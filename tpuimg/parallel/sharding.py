@@ -276,14 +276,29 @@ def clahe_sharded(mesh: Mesh, clip_limit: float, xtiles: int, ytiles: int):
             hists = jnp.stack(hists)  # (ytiles, xtiles, 256)
 
             # --- extension rows: top pad reflects image rows [1, pad_top],
-            # bottom pad reflects [h-1-pad_bot, h-1) — count them again into
-            # tile 0 / ytiles-1 (pads < th always, clahe() checks) ---
-            if pad_top > 0:
-                m = ((gy >= 1) & (gy <= pad_top))[:, None]
-                hists = hists.at[0].add(masked_hists_xsplit(ext, m))
-            if pad_bot > 0:
-                m = ((gy >= h - 1 - pad_bot) & (gy <= h - 2))[:, None]
-                hists = hists.at[ytiles - 1].add(masked_hists_xsplit(ext, m))
+            # bottom pad reflects [h-1-pad_bot, h-1). Extension row e belongs
+            # to y-tile e // th — NOT always tile 0 / ytiles-1: dense tile
+            # grids on short images give pad >= th (e.g. h=18, ytiles=16 →
+            # th=2, pad_top=7 spans 4 tiles). Per-tile ranges are static, so
+            # each tile gets one masked count of the image rows its pad
+            # section reflects; psum merges whichever shard owns them. ---
+            for k in range(ytiles):  # top pad: ext rows [k*th, ...) ∩ [0, pad_top)
+                e_lo, e_hi = k * th, min((k + 1) * th, pad_top)
+                if e_lo >= e_hi:
+                    break
+                # ext row e reflects image row pad_top - e
+                m = ((gy >= pad_top - e_hi + 1) & (gy <= pad_top - e_lo))[:, None]
+                hists = hists.at[k].add(masked_hists_xsplit(ext, m))
+            base = pad_top + h  # bottom pad: ext rows [base, base + pad_bot)
+            for k in range(ytiles):
+                e_lo = max(k * th, base)
+                e_hi = min((k + 1) * th, base + pad_bot)
+                if e_lo >= e_hi:
+                    continue
+                # ext row base + j reflects image row h - 2 - j
+                j_lo, j_hi = e_lo - base, e_hi - base
+                m = ((gy >= h - 1 - j_hi) & (gy <= h - 2 - j_lo))[:, None]
+                hists = hists.at[k].add(masked_hists_xsplit(ext, m))
 
             hists = jax.lax.psum(hists.reshape(ytiles * xtiles, 256), "sp")
 
