@@ -69,9 +69,14 @@ def main():
         # count both stages like the reference would launch them
         ("morph_31x31_4k_batch2", lambda x: tpuimg.morph_open(x, 15),
          batch4k_u8, 2 * 2 * PIX4K, 16, sol_ms(2 * 2 * MB4K_U8)),
+        # algorithm-minimal floor: a perfectly fused pipeline reads the u8
+        # frame once and writes it once (f32 intermediates can stay
+        # VMEM-resident) — baking the CURRENT implementation's intermediate
+        # traffic into the floor would reject a legitimately faster future
+        # fused form (round-2 review finding)
         ("enhance_pipeline_4k", lambda x: __import__(
             "tpuimg.pipeline", fromlist=["enhance"]).enhance(x), img4k_u8,
-         PIX4K, 12, sol_ms(3 * MB4K_U8 + 2 * MB4K_F32)),
+         PIX4K, 12, sol_ms(2 * MB4K_U8)),
     ]
 
     detail = {}

@@ -113,14 +113,20 @@ def time_stream_fn(fn, x, *, iters: int = 32, warmup_reps: int = 2,
                 frames_arg, jnp.remainder(i, f), 0, keepdims=False
             )
             out = fn(xi)
-            if isinstance(out, (tuple, list)):
-                out = out[0]
-            # The barrier forces the full output buffer to materialize; the
-            # checksum then reads only one row, so measured traffic is the
+            if not isinstance(out, (tuple, list)):
+                out = (out,)
+            # EVERY output must enter the dependency chain: summing only
+            # out[0] would let XLA dead-code-eliminate the other outputs
+            # and time a fraction of the op (round-2 review finding). The
+            # barrier forces the full buffers to materialize; the checksum
+            # then reads only one row each, so measured traffic is the
             # op's own read+write and nothing else.
-            out = jax.lax.optimization_barrier(out)
-            chk = out[..., :1, :] if out.ndim >= 2 else out
-            return c + jnp.sum(chk.astype(jnp.float32))
+            out = jax.lax.optimization_barrier(tuple(out))
+            acc = c
+            for o in out:
+                chk = o[..., :1, :] if o.ndim >= 2 else o
+                acc = acc + jnp.sum(chk.astype(jnp.float32))
+            return acc
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 

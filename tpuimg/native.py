@@ -80,6 +80,10 @@ def write_png(path: str, img: np.ndarray) -> None:
     lib = _load()
     img = np.ascontiguousarray(img, np.uint8)
     c = 1 if img.ndim == 2 else img.shape[2]
+    if c not in (1, 3):
+        # loader.cpp writes IHDR as gray/RGB only; RGBA would silently
+        # produce a channel-shifted file (row stride w*c vs 3*w consumed)
+        raise ValueError(f"write_png supports 1 or 3 channels, got {c}")
     h, w = img.shape[:2]
     if lib.tpuimg_write_png(path.encode(),
                             img.ctypes.data_as(ctypes.c_void_p), w, h, c) != 0:
@@ -132,3 +136,12 @@ class FrameStream:
         if self._handle:
             self._lib.tpuimg_stream_close(self._handle)
             self._handle = None
+
+    def __del__(self):
+        # last-resort cleanup: a dropped stream (no `with`, exception
+        # before close) would otherwise leak the native worker threads and
+        # decoded-slot buffers for the life of the process
+        try:
+            self.close()
+        except Exception:
+            pass
