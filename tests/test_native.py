@@ -67,3 +67,14 @@ def test_stream_raises_on_corrupt_frame(rng, tmp_path):
     with pytest.raises(IOError, match="failed to decode"):
         with native.FrameStream([gp, bad], (16, 24), gray=True, threads=1) as fs:
             list(fs)
+
+
+def test_write_png_rejects_unsupported_channels(tmp_path):
+    native = pytest.importorskip("tpuimg.native")
+    try:
+        native._load()
+    except Exception:
+        pytest.skip("native library unavailable")
+    rgba = np.zeros((8, 8, 4), np.uint8)
+    with pytest.raises(ValueError):
+        native.write_png(str(tmp_path / "x.png"), rgba)
