@@ -129,3 +129,30 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_ops_validate_inputs(rng, mesh):
+    # the sharded layer must enforce the same contracts as the local ops
+    # instead of silently truncating/corrupting (round-2 review)
+    from tpuimg.core.validate import DTypeError, ParamError
+    from tpuimg.parallel.sharding import integral_sharded, shard_rows
+
+    f32 = rng.random((16, 64), dtype=np.float32)
+    with pytest.raises(DTypeError):
+        integral_sharded(mesh)(f32)
+    with pytest.raises(DTypeError):
+        hist_equalize_sharded(mesh)(f32)
+    with pytest.raises(ValueError):
+        # ndim > 3 would fold frames into one histogram
+        hist_equalize_sharded(mesh)(
+            rng.integers(0, 256, (2, 3, 16, 64), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        # tile grid needs more reflect pad than the image can provide
+        clahe_sharded(mesh, 2.0, 8, 64)(
+            rng.integers(0, 256, (16, 64), dtype=np.uint8))
+    with pytest.raises(ParamError):
+        guided_filter_sharded(mesh, 4, 0.0)
+    with pytest.raises(ParamError):
+        guided_filter_sharded(mesh, 0, 1e-3)
+    with pytest.raises(ValueError):
+        shard_rows(mesh, rng.integers(0, 256, (3, 16, 64), dtype=np.uint8))

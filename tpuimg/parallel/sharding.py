@@ -52,9 +52,18 @@ def shard_batch(mesh: Mesh, batch):
 
 
 def shard_rows(mesh: Mesh, img):
-    """Place a (..., H, W) image with H sharded over the ``sp`` axis."""
-    spec = P(*([None] * (img.ndim - 2)), "sp", None)
-    return jax.device_put(img, NamedSharding(mesh, spec))
+    """Place one (H, W) frame with H sharded over the ``sp`` axis.
+
+    2-D only: the sharded ops partition a leading dim over the ``data``
+    axis (``_spec``), so a replicated-leading-dim placement from here would
+    never be accepted by them (round-2 review) — use ``shard_batch`` for
+    (B, H, W) batches."""
+    if img.ndim != 2:
+        raise ValueError(
+            f"shard_rows places a single (H, W) frame; got ndim={img.ndim} "
+            f"— use shard_batch for batched inputs"
+        )
+    return jax.device_put(img, NamedSharding(mesh, P("sp", None)))
 
 
 def _spec(ndim: int) -> P:
@@ -105,6 +114,9 @@ def stencil_sharded(op, radius: int, border: str, mesh: Mesh):
     ``op(padded_block)`` must consume exactly ``radius`` halo rows on each
     side of the row axis.
     """
+    from tpuimg.core.validate import check_radius
+
+    check_radius(radius)  # radius=0 would make _halo_exchange slice [-0:]
     n_sp = mesh.shape["sp"]
 
     def run(img):
@@ -135,6 +147,15 @@ def integral_sharded(mesh: Mesh):
     """
 
     def run(img):
+        from tpuimg.core.validate import DTypeError
+
+        if jnp.issubdtype(jnp.asarray(img).dtype, jnp.floating):
+            # same contract as ops.integral: astype(int32) would silently
+            # truncate a [0,1) float image to zeros (round-2 review)
+            raise DTypeError(
+                f"integral_sharded is the uint8 -> int32 prefix sum; got "
+                f"float dtype {jnp.asarray(img).dtype}"
+            )
         spec = _spec(img.ndim)
 
         @functools.partial(jax.shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec)
@@ -174,8 +195,11 @@ def guided_filter_sharded(mesh: Mesh, radius: int, eps: float,
     a jitted call — duplicated arguments become distinct tracers. Unjitted
     calls with ``p is I`` also take the fast path.
     """
+    from tpuimg.core.validate import check_positive, check_radius
     from tpuimg.ops.guided import guided_ypadded
 
+    check_radius(radius)
+    check_positive(eps, "eps")  # eps=0 gives 0/0=NaN on constant windows
     n_sp = mesh.shape["sp"]
 
     def run(I, p=None):
@@ -229,27 +253,44 @@ def clahe_sharded(mesh: Mesh, clip_limit: float, xtiles: int, ytiles: int):
     n_sp = mesh.shape["sp"]
 
     def run(img):
+        from tpuimg.core.validate import check_image
+
         if img.ndim != 2:
             raise ValueError("clahe_sharded shards one (H, W) frame by rows")
+        check_image(img, "img", dtypes=[jnp.uint8])
         h, w = img.shape
         tw, th = cdiv(w, xtiles), cdiv(h, ytiles)
         pad_left = (tw * xtiles - w) >> 1
         pad_top = (th * ytiles - h) >> 1
         pad_bot = th * ytiles - h - pad_top
         pad_right = tw * xtiles - w - pad_left
+        if max(pad_top, pad_bot) + 1 > h or max(pad_left, pad_right) + 1 > w:
+            # same bound the single-device op enforces (reference dLimitSize);
+            # without it the pad masks reference rows >= h, silently
+            # undercounting tile histograms (round-2 review)
+            raise ValueError(
+                f"tile grid {xtiles}x{ytiles} needs more reflect padding "
+                f"than the {h}x{w} image can provide"
+            )
         hs = h // n_sp  # shard_map block rows
         if hs * n_sp != h:
             raise ValueError(f"H={h} must divide over sp={n_sp} shards")
 
-        def masked_hists_xsplit(rows_block, row_mask):
-            """(R, Wext) u8 + (R, 1) mask -> (xtiles, 256) int32 counts."""
+        def hists_weighted(rows_block, wrow):
+            """(R, Wext) u8 + (ytiles, R) int weights -> (T, 256) counts.
+
+            ONE one-hot contraction to per-(xtile, row) 256-bin partials,
+            then a tiny (ytiles, R) weighting — replaces the former
+            per-y-tile masked passes, which re-contracted the full block up
+            to ~2*ytiles times (round-2 review)."""
             t = rows_block.reshape(rows_block.shape[0], xtiles, tw)
             t = jnp.moveaxis(t, 1, 0)  # (xtiles, R, tw)
             oh_hi, oh_lo = onehot_nibbles(t, jnp.int8)
-            oh_hi = oh_hi * row_mask[None, :, :, None].astype(jnp.int8)
-            hx = jnp.einsum("xrwa,xrwb->xab", oh_hi, oh_lo,
+            partial = jnp.einsum("xrwa,xrwb->xrab", oh_hi, oh_lo,
+                                 preferred_element_type=jnp.int32)
+            hk = jnp.einsum("kr,xrab->kxab", wrow, partial,
                             preferred_element_type=jnp.int32)
-            return hx.reshape(xtiles, 256)
+            return hk.reshape(ytiles * xtiles, 256)
 
         @functools.partial(
             jax.shard_map, mesh=mesh, in_specs=(P("sp", None),),
@@ -265,30 +306,27 @@ def clahe_sharded(mesh: Mesh, clip_limit: float, xtiles: int, ytiles: int):
                  jnp.flip(block[:, w - 1 - pad_right : w - 1], axis=1)],
                 axis=1)  # (hs, xtiles*tw)
 
-            # --- partial tile hists: identity rows ---
+            # --- per-tile row weights: how many times each LOCAL row counts
+            # into each y-tile's histogram. Identity rows count once into
+            # their tile; reflect-extension rows count again into the tile
+            # their pad section lies in — extension row e belongs to y-tile
+            # e // th, NOT always tile 0 / ytiles-1: dense tile grids on
+            # short images give pad >= th (e.g. h=18, ytiles=16 → th=2,
+            # pad_top=7 spans 4 tiles). All ranges are static; psum merges
+            # whichever shard owns the source rows. ---
             gy = o + jnp.arange(hs)  # global rows of this block
-            hists = []
-            for k in range(ytiles):
-                lo_img = k * th - pad_top          # tile k's first image row
-                hi_img = lo_img + th               # one past last (pre-clip)
-                mask = ((gy >= lo_img) & (gy < hi_img))[:, None]
-                hists.append(masked_hists_xsplit(ext, mask))
-            hists = jnp.stack(hists)  # (ytiles, xtiles, 256)
-
-            # --- extension rows: top pad reflects image rows [1, pad_top],
-            # bottom pad reflects [h-1-pad_bot, h-1). Extension row e belongs
-            # to y-tile e // th — NOT always tile 0 / ytiles-1: dense tile
-            # grids on short images give pad >= th (e.g. h=18, ytiles=16 →
-            # th=2, pad_top=7 spans 4 tiles). Per-tile ranges are static, so
-            # each tile gets one masked count of the image rows its pad
-            # section reflects; psum merges whichever shard owns them. ---
-            for k in range(ytiles):  # top pad: ext rows [k*th, ...) ∩ [0, pad_top)
+            krange = jnp.arange(ytiles)[:, None]
+            lo_img = krange * th - pad_top  # tile k's first image row
+            wrow = ((gy[None, :] >= lo_img)
+                    & (gy[None, :] < lo_img + th)).astype(jnp.int32)
+            for k in range(ytiles):  # top pad: ext rows [k*th, ..) ∩ [0, pad_top)
                 e_lo, e_hi = k * th, min((k + 1) * th, pad_top)
                 if e_lo >= e_hi:
                     break
                 # ext row e reflects image row pad_top - e
-                m = ((gy >= pad_top - e_hi + 1) & (gy <= pad_top - e_lo))[:, None]
-                hists = hists.at[k].add(masked_hists_xsplit(ext, m))
+                wrow = wrow.at[k].add(
+                    ((gy >= pad_top - e_hi + 1)
+                     & (gy <= pad_top - e_lo)).astype(jnp.int32))
             base = pad_top + h  # bottom pad: ext rows [base, base + pad_bot)
             for k in range(ytiles):
                 e_lo = max(k * th, base)
@@ -297,10 +335,11 @@ def clahe_sharded(mesh: Mesh, clip_limit: float, xtiles: int, ytiles: int):
                     continue
                 # ext row base + j reflects image row h - 2 - j
                 j_lo, j_hi = e_lo - base, e_hi - base
-                m = ((gy >= h - 1 - j_hi) & (gy <= h - 2 - j_lo))[:, None]
-                hists = hists.at[k].add(masked_hists_xsplit(ext, m))
+                wrow = wrow.at[k].add(
+                    ((gy >= h - 1 - j_hi)
+                     & (gy <= h - 2 - j_lo)).astype(jnp.int32))
 
-            hists = jax.lax.psum(hists.reshape(ytiles * xtiles, 256), "sp")
+            hists = jax.lax.psum(hists_weighted(ext, wrow), "sp")
 
             # --- clip + redistribute + per-tile float LUTs (replicated) ---
             limit = int(tw * th * clip_limit / 256 + 0.5)
@@ -359,6 +398,17 @@ def hist_equalize_sharded(mesh: Mesh):
     from tpuimg.kernels.onehot import hist256, hist256_tiled, lut_apply
 
     def run(img):
+        from tpuimg.core.validate import check_image
+
+        check_image(img, "img", dtypes=[jnp.uint8])
+        if img.ndim > 3:
+            # inner() folds every non-leading dim into ONE histogram, which
+            # would break per-frame semantics for (B1, B2, H, W) inputs
+            # (round-2 review) — flatten leading batch dims first
+            raise ValueError(
+                f"hist_equalize_sharded takes (H, W) or (B, H, W) inputs; "
+                f"got ndim={img.ndim} — flatten leading batch dims to one"
+            )
         spec = _spec(img.ndim)
         per_image = img.shape[-2] * img.shape[-1]
 
