@@ -26,6 +26,9 @@ import numpy as np
 
 
 def _maxdiff(a, b):
+    # host-side on purpose: the reference side is a host NumPy oracle, so a
+    # device-side compare (ops.metrics) would just move the transfer from
+    # download(out) to upload(ref) — no traffic win on the tunneled runtime
     return float(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)).max())
 
 
@@ -155,9 +158,15 @@ def cmd_clahe(args):
                       ytiles=args.ytiles)
     try:
         rgb = imread_rgb(args.image)
-        color = rgb.ndim == 3
+        # image decoders hand back (H, W, 3) even for grayscale sources, so
+        # ndim alone cannot detect color — check the channels actually
+        # differ (a gray PNG through the Lab round-trip would shift values
+        # by several levels; round-2 review)
+        color = rgb.ndim == 3 and int(np.ptp(rgb, axis=-1).max()) > 0
+        if not color and rgb.ndim == 3:
+            rgb = rgb[..., 0]
     except Exception:
-        color = False
+        rgb, color = None, False
     if color:
         # reference claheDemo: BGR→Lab, CLAHE on L, merge back — but here the
         # whole chain runs on device (ops/color.py)
@@ -170,14 +179,14 @@ def cmd_clahe(args):
             [Leq, lab[..., 1], lab[..., 2]], axis=-1)))
         imwrite(_out_path(args.image, "tpuclahe"), out_rgb)
         L_np = np.asarray(L)
+        got = np.asarray(Leq)
     else:
-        L_np = imread_gray(args.image)
-        out = np.asarray(tpuimg.clahe(L_np, cfg.clip_limit, cfg.xtiles,
+        L_np = rgb if rgb is not None else imread_gray(args.image)
+        got = np.asarray(tpuimg.clahe(L_np, cfg.clip_limit, cfg.xtiles,
                                       cfg.ytiles))
-        imwrite(_out_path(args.image, "tpuclahe"), out)
+        imwrite(_out_path(args.image, "tpuclahe"), got)
 
     ref = clahe_ref(L_np, cfg.clip_limit, cfg.xtiles, cfg.ytiles)
-    got = np.asarray(tpuimg.clahe(L_np, cfg.clip_limit, cfg.xtiles, cfg.ytiles))
     fn = lambda v: tpuimg.clahe(v, cfg.clip_limit, cfg.xtiles, cfg.ytiles)
     r = _time(fn, jnp.asarray(L_np), args.nreps, L_np.size)
     return _report("clahe", r.ms, r.gpix_s, _maxdiff(got, ref), 1)
@@ -190,9 +199,16 @@ def cmd_guided(args):
     from tpuimg.oracle import guided_filter_ref
     from tpuimg.utils import imwrite
 
+    from tpuimg.core.validate import ParamError
+
     src = _load_or_random(args.src, args.width, args.height, np.float32)
     guide = _load_or_random(args.guide or args.src, args.width, args.height,
                             np.float32)
+    if guide.shape != src.shape:
+        raise ParamError(
+            f"guide {guide.shape} and src {src.shape} must match; pass both "
+            f"--src and --guide as same-sized images"
+        )
     ref = guided_filter_ref(guide, src, args.radius, args.eps,
                             border="reflect101")
     from tpuimg.core.params import GuidedConfig
@@ -370,9 +386,9 @@ def cmd_stream(args):
             result = fn(jnp.asarray(frame))
             if pending is not None:
                 pidx, pres = pending
-                native.write_png(
-                    os.path.join(args.out, os.path.basename(paths[pidx])),
-                    np.asarray(pres))
+                base = os.path.splitext(os.path.basename(paths[pidx]))[0]
+                native.write_png(  # output is PNG regardless of input ext
+                    os.path.join(args.out, base + ".png"), np.asarray(pres))
                 n += 1
             pending = (idx, result)
         if pending is not None:

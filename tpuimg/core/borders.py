@@ -49,7 +49,9 @@ def pad_mode(border: str) -> str:
     try:
         return _NUMPY_PAD_MODE[border]
     except KeyError:
-        raise ValueError(
+        from tpuimg.core.validate import ParamError
+
+        raise ParamError(
             f"border must be one of {sorted(_NUMPY_PAD_MODE)}, got {border!r}"
         ) from None
 

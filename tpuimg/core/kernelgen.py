@@ -23,7 +23,9 @@ _SMALL_GAUSSIAN = {
 def gaussian_kernel_1d(ksize: int, sigma: float, dtype=np.float32) -> np.ndarray:
     """Equivalent of ``cv::getGaussianKernel(ksize, sigma)`` (normalized, CV_64F math)."""
     if ksize < 1 or ksize % 2 == 0:
-        raise ValueError(f"ksize must be a positive odd integer, got {ksize}")
+        from tpuimg.core.validate import ParamError
+
+        raise ParamError(f"ksize must be a positive odd integer, got {ksize}")
     if sigma <= 0 and ksize in _SMALL_GAUSSIAN:
         k = _SMALL_GAUSSIAN[ksize]
     else:

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from tpuimg.core.validate import check_positive, check_radius
+from tpuimg.core.validate import ParamError, check_positive, check_radius
 
 
 @dataclass(frozen=True)
@@ -56,4 +56,5 @@ class MorphConfig:
     def __post_init__(self):
         check_radius(self.radius)
         if self.mode not in (0, 1):
-            raise ValueError(f"mode must be 0 (erode) or 1 (dilate), got {self.mode}")
+            raise ParamError(
+                f"mode must be 0 (erode) or 1 (dilate), got {self.mode}")

@@ -229,7 +229,9 @@ def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
     pad_bot = th * ytiles - h - pad_top
     pad_right = tw * xtiles - w - pad_left
     if max(pad_top, pad_bot) + 1 > h or max(pad_left, pad_right) + 1 > w:
-        raise ValueError(
+        from tpuimg.core.validate import ParamError
+
+        raise ParamError(
             f"tile grid {xtiles}x{ytiles} needs more reflect padding than the "
             f"{h}x{w} image can provide (reference dLimitSize has the same "
             f"validity bound)"
