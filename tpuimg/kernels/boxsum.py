@@ -19,7 +19,9 @@ Measured dead end (v5e, r=8 4K self-guided): offloading the y-direction
 window sums to the MXU as banded-ones bf16 matmuls — 0.63 ms with the
 hi/lo operand split needed for f32 accuracy (vs 0.59 VPU), and 0.57 ms
 unsplit but with 3.5e-3 error, over the 1e-3 contract. The VPU log-depth
-ladders (kernels/window.py) stay.
+ladders (kernels/window.py) stay. A single 4096-lane strip DOES compile
+for the 3-stream self-guided variant (bit-exact) but measures identical
+to two 2048 strips — keep 2048, which the 6-stream general kernel needs.
 """
 
 from __future__ import annotations
