@@ -39,11 +39,13 @@ def test_gaussian_strip_path_bit_exact(rng, monkeypatch):
     # the submodule in `import ... as` resolution
     g = importlib.import_module("tpuimg.ops.gaussian")
 
-    img = rng.random((64, 2500), dtype=np.float32)
-    ref = np.asarray(gaussian(img, 2, 1.5))
+    img = rng.random((64, 2496), dtype=np.float32)
+    ref = np.asarray(gaussian(img, 2, 1.5))  # monolithic (pre-patch trace)
     monkeypatch.setattr(g, "_STRIP_BYTES", 1024)
-    got = np.asarray(gaussian(img[:, :-4], 2, 1.5))  # fresh shape
-    np.testing.assert_array_equal(got, np.asarray(
-        gaussian(img[:, :-4], 2, 1.5)))
-    # and against the oracle on the strip path
-    assert np.abs(got - gaussian_ref(img[:, :-4], 2, 1.5)).max() < 1e-5
+    # the jit cache still holds the monolithic trace for this shape —
+    # clear it so the strip decision is re-made under the patched threshold
+    gaussian.clear_cache()
+    got = np.asarray(gaussian(img, 2, 1.5))  # strip path
+    np.testing.assert_array_equal(got, ref)  # bit-exact vs monolithic
+    assert np.abs(got - gaussian_ref(img, 2, 1.5)).max() < 1e-5
+    gaussian.clear_cache()  # don't leak the strip trace to other tests

@@ -11,10 +11,13 @@ def test_integral_exact(rng):
 
 
 def test_integral_fuzz_shapes(rng):
-    # Mirrors the reference's randomized-size property test
-    # (autoTestDemo, Integral/main.cpp:154-237: sizes in [64, 6000], diff==0).
-    for _ in range(10):
-        h, w = rng.integers(64, 600, size=2)
+    # Mirrors the reference's randomized-size property test (autoTestDemo,
+    # Integral/main.cpp:154-237). The full [64, 6000] range runs on the
+    # real chip via `python -m tpuimg integral-autotest` (res.log); here
+    # [64, 2000) keeps the hermetic CPU run fast while still crossing
+    # multiple band boundaries.
+    for _ in range(8):
+        h, w = rng.integers(64, 2000, size=2)
         img = rng.integers(0, 256, (int(h), int(w)), dtype=np.uint8)
         np.testing.assert_array_equal(np.asarray(integral(img)), integral_ref(img))
 

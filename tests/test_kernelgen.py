@@ -13,10 +13,13 @@ def test_small_kernel_table_sigma_zero():
 
 
 def test_derived_sigma_large_kernel():
-    # ksize 9 with sigma<=0 derives sigma = 0.3*((9-1)*0.5-1)+0.8
+    # ksize 9 with sigma<=0 derives sigma = 0.3*((9-1)*0.5-1)+0.8 = 1.7;
+    # pin the FORMULA (sum~1 + center-max alone hold for any normalized
+    # unimodal kernel and cannot catch a wrong derivation)
     k = gaussian_kernel_1d(9, 0.0)
     assert abs(k.sum() - 1.0) < 1e-6
     assert k[4] == k.max()
+    np.testing.assert_allclose(k, gaussian_kernel_1d(9, 1.7), rtol=1e-12)
 
 
 def test_matches_opencv_kernel():

@@ -53,17 +53,3 @@ def test_morphology_oracle_matches_cv(rng):
         se = cv2.getStructuringElement(cv2.MORPH_RECT, (ksz, ksz))
         np.testing.assert_array_equal(erode_ref(img, radius), cv2.erode(img, se))
         np.testing.assert_array_equal(dilate_ref(img, radius), cv2.dilate(img, se))
-
-
-def test_profiling_stage_times(rng):
-    import jax.numpy as jnp
-
-    from tpuimg import gaussian
-    from tpuimg.profiling import stage_times
-
-    x = jnp.asarray(rng.random((64, 64), dtype=np.float32))
-    res = stage_times(
-        [("blur", lambda v: gaussian(v, 1, 1.0)),
-         ("blur2", lambda v: gaussian(v, 2, 1.5))], x, iters=3)
-    assert set(res) == {"blur", "blur2", "chained"}
-    assert all(v >= 0 for v in res.values())

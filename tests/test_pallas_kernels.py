@@ -48,14 +48,18 @@ def test_open_close_pallas_exact(rng, radius):
     border clamp of the intermediate (and 2r > h shapes)."""
     from tpuimg.kernels.sep_stencil import open_close_pallas
 
+    from tpuimg.oracle import close_ref, open_ref
+
     for shape in [(97, 201), (15, 33)]:
         img = rng.integers(0, 256, shape, dtype=np.uint8)
-        ref_o = dilate_ref(np.asarray(erode(img, radius, impl="xla")), radius)
+        # pure NumPy oracles — a reference built from the xla ops under
+        # test would hide a border bug shared between implementations
         np.testing.assert_array_equal(
-            np.asarray(open_close_pallas(img, radius, 0)), ref_o)
-        ref_c = erode_ref(np.asarray(dilate(img, radius, impl="xla")), radius)
+            np.asarray(open_close_pallas(img, radius, 0)),
+            open_ref(img, radius))
         np.testing.assert_array_equal(
-            np.asarray(open_close_pallas(img, radius, 1)), ref_c)
+            np.asarray(open_close_pallas(img, radius, 1)),
+            close_ref(img, radius))
 
 
 def test_hist256_pallas_exact(rng):

@@ -41,6 +41,9 @@ def test_enhance_identity_scale_preserved(rng):
     img = np.full((64, 64), 137, dtype=np.uint8)
     out = np.asarray(enhance(img))
     assert np.unique(out).size == 1
+    # the level itself must survive: gaussian/guided preserve constants
+    # exactly, only CLAHE's clipped LUT may shift it by a few levels
+    assert abs(int(out[0, 0]) - 137) <= 5
 
 
 @pytest.fixture
@@ -76,3 +79,19 @@ def test_cli_stream_gaussian_rounding(frame_dir, tmp_path):
     ref = np.clip(np.rint(np.asarray(tpuimg.gaussian(src, 2, 1.5)) * 255.0),
                   0, 255).astype(np.uint8)
     np.testing.assert_array_equal(got, ref)
+
+
+# profiling coverage lives here (NOT in test_oracle_vs_opencv, whose
+# module-level cv2 importorskip would silently skip it without cv2)
+def test_profiling_stage_times(rng):
+    import jax.numpy as jnp
+
+    from tpuimg import gaussian
+    from tpuimg.profiling import stage_times
+
+    x = jnp.asarray(rng.random((64, 64), dtype=np.float32))
+    res = stage_times(
+        [("blur", lambda v: gaussian(v, 1, 1.0)),
+         ("blur2", lambda v: gaussian(v, 2, 1.5))], x, iters=3)
+    assert set(res) == {"blur", "blur2", "chained"}
+    assert all(v >= 0 for v in res.values())

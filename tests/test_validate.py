@@ -86,9 +86,25 @@ def test_guided_auto_small_image_falls_back(rng):
     # h <= 2r would overflow the fused kernel's reflect pad; auto must
     # route to XLA and succeed
     I = rng.random((20, 200), dtype=np.float32)
-    out = tpuimg.guided_filter(I, I, 12, 1e-3, border="reflect101",
-                               impl="auto")
+    out = np.asarray(tpuimg.guided_filter(I, I, 12, 1e-3, border="reflect101",
+                                          impl="auto"))
     assert out.shape == I.shape
+    from tpuimg.oracle import guided_filter_ref
+
+    # values, not just shape: the 2r > h regime must match the oracle
+    ref = guided_filter_ref(I, I, 12, 1e-3, border="reflect101")
+    assert np.abs(out - ref).max() < 1e-3
+
+
+def test_integral_pallas_rejects_wide_int():
+    # the auto route must never send non-u8 ints to the Pallas scan (its
+    # f32 row matmuls are silently inexact there); the contract is pinned
+    # on the explicit pallas path since auto resolves to xla on CPU anyway
+    from tpuimg.core.validate import DTypeError
+
+    img = np.arange(64 * 128, dtype=np.int32).reshape(64, 128)
+    with pytest.raises(DTypeError):
+        tpuimg.integral(img, impl="pallas")
 
 
 def test_morphology_rejects_radius_zero():
