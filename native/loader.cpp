@@ -50,6 +50,10 @@ bool decode_png(FILE* f, int want, DecodedImage* out) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return false;
   }
+  // constructed BEFORE setjmp: a libpng longjmp past a live vector's scope
+  // would skip its destructor (UB + per-corrupt-file leak); here the jump
+  // lands in-function and the destructor runs on return
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
@@ -80,7 +84,7 @@ bool decode_png(FILE* f, int want, DecodedImage* out) {
   out->channels = want;
   size_t rowbytes = png_get_rowbytes(png, info);
   out->data.resize(rowbytes * out->height);
-  std::vector<png_bytep> rows(out->height);
+  rows.resize(out->height);
   for (int y = 0; y < out->height; ++y)
     rows[y] = out->data.data() + y * rowbytes;
   png_read_image(png, rows.data());
@@ -197,11 +201,15 @@ int tpuimg_image_dims(const char* path, int want_channels, int* w, int* h) {
 // Decode into caller buffer of size w*h*want_channels; returns 0 on success.
 int tpuimg_read_image(const char* path, int want_channels, uint8_t* buf,
                       int w, int h) {
-  DecodedImage img;
-  if (!decode_file(path, want_channels, &img)) return -1;
-  if (img.width != w || img.height != h) return -2;
-  memcpy(buf, img.data.data(), img.data.size());
-  return 0;
+  try {
+    DecodedImage img;
+    if (!decode_file(path, want_channels, &img)) return -1;
+    if (img.width != w || img.height != h) return -2;
+    memcpy(buf, img.data.data(), img.data.size());
+    return 0;
+  } catch (...) {  // exceptions must not cross the C ABI into ctypes
+    return -3;
+  }
 }
 
 int tpuimg_write_png(const char* path, const uint8_t* buf, int w, int h,
@@ -211,6 +219,7 @@ int tpuimg_write_png(const char* path, const uint8_t* buf, int w, int h,
   png_structp png =
       png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
   png_infop info = png ? png_create_info_struct(png) : nullptr;
+  std::vector<png_bytep> rows;  // before setjmp (see decode_png)
   if (!info || setjmp(png_jmpbuf(png))) {
     if (png) png_destroy_write_struct(&png, info ? &info : nullptr);
     fclose(f);
@@ -222,7 +231,7 @@ int tpuimg_write_png(const char* path, const uint8_t* buf, int w, int h,
                PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
                PNG_FILTER_TYPE_DEFAULT);
   png_write_info(png, info);
-  std::vector<png_bytep> rows(h);
+  rows.resize(h);
   for (int y = 0; y < h; ++y)
     rows[y] = const_cast<png_bytep>(buf + size_t(y) * w * channels);
   png_write_image(png, rows.data());
@@ -233,8 +242,9 @@ int tpuimg_write_png(const char* path, const uint8_t* buf, int w, int h,
 }
 
 // ---------------------------------------------------------------------------
-// Streaming prefetcher: worker threads decode (and letterbox-resize to the
-// fixed slot size) ahead of the consumer through a bounded queue.
+// Streaming prefetcher: worker threads decode (and nearest-neighbor
+// stretch to the fixed slot size — anisotropic, aspect NOT preserved)
+// ahead of the consumer through a bounded queue.
 // ---------------------------------------------------------------------------
 
 struct StreamItem {
@@ -254,6 +264,8 @@ struct Stream {
   std::vector<std::thread> workers;
   bool stop = false;
   size_t delivered = 0;
+  int active_next = 0;  // readers inside tpuimg_stream_next
+  std::condition_variable cv_idle;
   std::mutex submit_mu;
 
   void worker() {
@@ -264,22 +276,32 @@ struct Stream {
         if (next_submit >= paths.size()) return;
         idx = next_submit++;
       }
-      DecodedImage img;
-      std::vector<uint8_t> slot(size_t(slot_w) * slot_h * want, 0);
-      bool ok = decode_file(paths[idx].c_str(), want, &img);
-      if (ok) {
-        // nearest-neighbor resize into the fixed slot (static shapes for XLA)
-        for (int y = 0; y < slot_h; ++y) {
-          int sy = std::min(int(int64_t(y) * img.height / slot_h),
-                            img.height - 1);
-          for (int x = 0; x < slot_w; ++x) {
-            int sx = std::min(int(int64_t(x) * img.width / slot_w),
-                              img.width - 1);
-            for (int c = 0; c < want; ++c)
-              slot[(size_t(y) * slot_w + x) * want + c] =
-                  img.data[(size_t(sy) * img.width + sx) * want + c];
+      bool ok = false;
+      std::vector<uint8_t> slot;
+      try {  // an uncaught exception here (e.g. bad_alloc from a hostile
+             // 60000x60000 header) would std::terminate the whole process;
+             // report the frame as failed via the -(idx+2) protocol instead
+        DecodedImage img;
+        slot.assign(size_t(slot_w) * slot_h * want, 0);
+        ok = decode_file(paths[idx].c_str(), want, &img);
+        if (ok) {
+          // nearest-neighbor stretch to the fixed slot (static shapes for
+          // XLA; anisotropic — aspect is NOT preserved)
+          for (int y = 0; y < slot_h; ++y) {
+            int sy = std::min(int(int64_t(y) * img.height / slot_h),
+                              img.height - 1);
+            for (int x = 0; x < slot_w; ++x) {
+              int sx = std::min(int(int64_t(x) * img.width / slot_w),
+                                img.width - 1);
+              for (int c = 0; c < want; ++c)
+                slot[(size_t(y) * slot_w + x) * want + c] =
+                    img.data[(size_t(sy) * img.width + sx) * want + c];
+            }
           }
         }
+      } catch (...) {
+        ok = false;
+        slot.clear();
       }
       std::unique_lock<std::mutex> g(mu);
       cv_space.wait(g, [&] { return ready.size() < capacity || stop; });
@@ -310,13 +332,18 @@ void* tpuimg_stream_open(const char** paths, int n, int want_channels,
 long tpuimg_stream_next(void* handle, uint8_t* buf) {
   auto* s = static_cast<Stream*>(handle);
   std::unique_lock<std::mutex> g(s->mu);
-  if (s->delivered >= s->paths.size()) return -1;
+  if (s->stop || s->delivered >= s->paths.size()) return -1;
+  s->active_next++;
   s->cv_ready.wait(g, [&] { return !s->ready.empty() || s->stop; });
-  if (s->stop) return -1;
+  if (s->stop) {
+    if (--s->active_next == 0) s->cv_idle.notify_all();
+    return -1;
+  }
   auto item = std::move(s->ready.front());
   s->ready.pop();
   s->delivered++;
   s->cv_space.notify_one();
+  if (--s->active_next == 0) s->cv_idle.notify_all();
   g.unlock();
   if (!item.ok) return -long(item.idx) - 2;
   memcpy(buf, item.data.data(), item.data.size());
@@ -326,11 +353,16 @@ long tpuimg_stream_next(void* handle, uint8_t* buf) {
 void tpuimg_stream_close(void* handle) {
   auto* s = static_cast<Stream*>(handle);
   {
-    std::lock_guard<std::mutex> g(s->mu);
+    std::unique_lock<std::mutex> g(s->mu);
     s->stop = true;
+    s->cv_space.notify_all();
+    s->cv_ready.notify_all();
+    // rendezvous with in-flight next() calls: deleting while a reader is
+    // still blocked on (or waking from) cv_ready would destroy a mutex /
+    // condvar in use (ctypes releases the GIL, so readers genuinely
+    // overlap close)
+    s->cv_idle.wait(g, [&] { return s->active_next == 0; });
   }
-  s->cv_space.notify_all();
-  s->cv_ready.notify_all();
   for (auto& t : s->workers) t.join();
   delete s;
 }

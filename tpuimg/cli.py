@@ -393,9 +393,9 @@ def cmd_stream(args):
             pending = (idx, result)
         if pending is not None:
             pidx, pres = pending
-            native.write_png(
-                os.path.join(args.out, os.path.basename(paths[pidx])),
-                np.asarray(pres))
+            base = os.path.splitext(os.path.basename(paths[pidx]))[0]
+            native.write_png(  # PNG name like every in-loop frame
+                os.path.join(args.out, base + ".png"), np.asarray(pres))
             n += 1
     dt = time.perf_counter() - t0
     print(f"processed {n} frames ({args.width}x{args.height}, op={args.op}) "

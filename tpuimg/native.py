@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -23,9 +24,19 @@ def _load():
     if _lib is not None:
         return _lib
     if not os.path.exists(_LIB_PATH):
-        script = os.path.join(os.path.dirname(__file__), "..", "scripts",
-                              "build_native.sh")
-        subprocess.run(["sh", script], check=True, capture_output=True)
+        # cross-process lock: two fresh checkouts building concurrently
+        # would race g++ writes to the same .so (one loads a half-written
+        # file); flock serializes them and the loser sees the built lib
+        import fcntl
+
+        os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
+        with open(_LIB_PATH + ".lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if not os.path.exists(_LIB_PATH):
+                script = os.path.join(os.path.dirname(__file__), "..",
+                                      "scripts", "build_native.sh")
+                subprocess.run(["sh", script], check=True,
+                               capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
     lib.tpuimg_image_dims.argtypes = [
         ctypes.c_char_p, ctypes.c_int,
@@ -78,6 +89,11 @@ def read_image(path: str, gray: bool = True) -> np.ndarray:
 
 def write_png(path: str, img: np.ndarray) -> None:
     lib = _load()
+    if np.asarray(img).dtype != np.uint8:
+        # an implicit cast would wrap/truncate (float [0,1] -> near-black)
+        raise TypeError(
+            f"write_png takes uint8 (use the library's rint+clip "
+            f"convention first), got {np.asarray(img).dtype}")
     img = np.ascontiguousarray(img, np.uint8)
     c = 1 if img.ndim == 2 else img.shape[2]
     if c not in (1, 3):
@@ -107,6 +123,7 @@ class FrameStream:
         self._n = len(paths)
         self._gray = gray
         self._hw = slot_hw
+        self._lock = threading.Lock()
         arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
         self._handle = self._lib.tpuimg_stream_open(
             arr, len(paths), 1 if gray else 3, slot_hw[1], slot_hw[0],
@@ -123,9 +140,16 @@ class FrameStream:
     def __iter__(self):
         shape = self._hw if self._gray else (*self._hw, 3)
         for _ in range(self._n):
-            buf = np.empty(shape, np.uint8)
-            idx = self._lib.tpuimg_stream_next(
-                self._handle, buf.ctypes.data_as(ctypes.c_void_p))
+            # _lock serializes against close(): ctypes releases the GIL
+            # during the blocking next(), so without it a concurrent
+            # close() could free the native stream mid-call (and a
+            # post-close next() would pass NULL and segfault)
+            with self._lock:
+                if self._handle is None:
+                    return
+                buf = np.empty(shape, np.uint8)
+                idx = self._lib.tpuimg_stream_next(
+                    self._handle, buf.ctypes.data_as(ctypes.c_void_p))
             if idx == -1:
                 return
             if idx < -1:  # -(index + 2): that frame failed to decode
@@ -133,15 +157,17 @@ class FrameStream:
             yield idx, buf
 
     def close(self):
-        if self._handle:
-            self._lib.tpuimg_stream_close(self._handle)
-            self._handle = None
+        with self._lock:
+            if self._handle:
+                self._lib.tpuimg_stream_close(self._handle)
+                self._handle = None
 
     def __del__(self):
         # last-resort cleanup: a dropped stream (no `with`, exception
         # before close) would otherwise leak the native worker threads and
         # decoded-slot buffers for the life of the process
         try:
-            self.close()
+            if getattr(self, "_lock", None) is not None:
+                self.close()
         except Exception:
             pass
