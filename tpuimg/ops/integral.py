@@ -24,8 +24,9 @@ import jax.numpy as jnp
 def integral(img, impl: str = "auto"):
     """Inclusive 2D prefix sum over the trailing two dims; int32 result.
 
-    impl="auto" picks the Pallas banded scan on TPU (measured 0.21 ms at 4K
-    on v5e vs 0.25 ms for the XLA cumsum form) and XLA elsewhere.
+    impl="auto" picks the all-MXU Pallas scan on TPU (0.18 ms at 4K on v5e
+    vs 0.27 ms for the XLA cumsum form, compare_impls.log) and XLA
+    elsewhere; non-uint8 integers always take the exact XLA path.
     """
     from tpuimg.core.validate import DTypeError, check_image, check_impl
 
