@@ -146,12 +146,17 @@ def test_sharded_ops_validate_inputs(rng, mesh):
         # ndim > 3 would fold frames into one histogram
         hist_equalize_sharded(mesh)(
             rng.integers(0, 256, (2, 3, 16, 64), dtype=np.uint8))
-    with pytest.raises(ValueError):
-        # tile grid needs more reflect pad than the image can provide
+    with pytest.raises(ParamError):
+        # tile grid needs more reflect pad than the image can provide —
+        # same typed error as the single-device clahe (advisor round 2)
         clahe_sharded(mesh, 2.0, 8, 64)(
             rng.integers(0, 256, (16, 64), dtype=np.uint8))
     with pytest.raises(ParamError):
         guided_filter_sharded(mesh, 4, 0.0)
+    with pytest.raises(TypeError):
+        # forgotten source on a non-self-guided factory must not silently
+        # run the self-guided filter (advisor round 2)
+        guided_filter_sharded(mesh, 4, 1e-3)(f32)
     with pytest.raises(ParamError):
         guided_filter_sharded(mesh, 0, 1e-3)
     with pytest.raises(ValueError):

@@ -10,6 +10,7 @@ free under jit.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as _np
 
 
 class TpuImgError(ValueError):
@@ -48,8 +49,6 @@ def check_image(x, name: str = "img", min_ndim: int = 2, dtypes=None):
 def check_radius(radius: int, lo: int = 1, name: str = "radius"):
     # bool is an int subclass (True would pass as radius 1); NumPy integer
     # scalars (np.int64 from configs/sweeps) are valid radii
-    import numpy as _np
-
     if (isinstance(radius, bool) or not isinstance(radius, (int, _np.integer))
             or radius < lo):
         raise ParamError(f"{name} must be an int >= {lo}, got {radius!r}")

@@ -25,8 +25,9 @@ def _load():
         return _lib
     if not os.path.exists(_LIB_PATH):
         # cross-process lock: two fresh checkouts building concurrently
-        # would race g++ writes to the same .so (one loads a half-written
-        # file); flock serializes them and the loser sees the built lib
+        # would race the build (build_native.sh writes to a temp path and
+        # renames atomically, so even an unlocked reader never sees a
+        # half-written .so); flock additionally serializes the g++ runs
         import fcntl
 
         os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)

@@ -210,7 +210,14 @@ def guided_filter_sharded(mesh: Mesh, radius: int, eps: float,
                 "source p — it would be silently ignored; build the op "
                 "without self_guided for a separate guide/source pair"
             )
-        if self_guided or p is None or p is I:
+        if not self_guided and p is None:
+            # a forgotten source argument must not silently degrade to the
+            # self-guided filter — that produces plausible but wrong output
+            raise TypeError(
+                "guided_filter_sharded built without self_guided requires a "
+                "source p; pass run(I, p) or build with self_guided=True"
+            )
+        if self_guided or p is I:
 
             @functools.partial(
                 jax.shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec
@@ -265,10 +272,13 @@ def clahe_sharded(mesh: Mesh, clip_limit: float, xtiles: int, ytiles: int):
         pad_bot = th * ytiles - h - pad_top
         pad_right = tw * xtiles - w - pad_left
         if max(pad_top, pad_bot) + 1 > h or max(pad_left, pad_right) + 1 > w:
-            # same bound the single-device op enforces (reference dLimitSize);
+            # same bound AND same typed error as the single-device op
+            # (ops/histogram.py raises ParamError for this condition);
             # without it the pad masks reference rows >= h, silently
             # undercounting tile histograms (round-2 review)
-            raise ValueError(
+            from tpuimg.core.validate import ParamError
+
+            raise ParamError(
                 f"tile grid {xtiles}x{ytiles} needs more reflect padding "
                 f"than the {h}x{w} image can provide"
             )
