@@ -148,3 +148,60 @@ def test_clahe_gather_map_exact(rng):
     ref = clahe_ref(img, 30.0, 5, 3)
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
 
+
+
+# --- in-kernel border handling (round 3: no pre-kernel jnp.pad) ---
+# The engine picks ~512-row bands on small frames, so these shapes force
+# every band/border combination: single unaligned band, multiple bands with
+# h % band == 0 (static bottom fix), multiple bands with a mid-tile image
+# end (masked dynamic fix; 700 has no multiple-of-8 divisor >= band/2).
+
+
+@pytest.mark.parametrize("shape", [(1024, 256), (700, 130), (520, 257)])
+def test_gaussian_pallas_band_borders(rng, shape):
+    img = rng.random(shape, dtype=np.float32)
+    out = np.asarray(gaussian(img, 4, 2.0, impl="pallas"))
+    assert np.abs(out - gaussian_ref(img, 4, 2.0)).max() < 1e-5
+
+
+@pytest.mark.parametrize("shape,radius", [((1024, 256), 9), ((700, 130), 15),
+                                          ((10, 200), 15), ((600, 90), 3)])
+def test_morph_pallas_band_borders(rng, shape, radius):
+    # (10, 200) r15: image shorter than the SE — pure replicate both ways
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(erode(img, radius, impl="pallas")), erode_ref(img, radius))
+    np.testing.assert_array_equal(
+        np.asarray(dilate(img, radius, impl="pallas")),
+        dilate_ref(img, radius))
+
+
+@pytest.mark.parametrize("shape,radius", [((1024, 256), 8), ((700, 130), 5)])
+def test_open_close_pallas_band_borders(rng, shape, radius):
+    from tpuimg.kernels.sep_stencil import open_close_pallas
+    from tpuimg.oracle import close_ref, open_ref
+
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(open_close_pallas(img, radius, 0)), open_ref(img, radius))
+    np.testing.assert_array_equal(
+        np.asarray(open_close_pallas(img, radius, 1)), close_ref(img, radius))
+
+
+@pytest.mark.parametrize("radius", [2, 7])
+def test_sep_stencil_ypadded_matches_local(rng, radius):
+    """The sharding entry point consumes real halo rows: feeding it the
+    reflect/replicate-padded rows of a frame must reproduce the local op."""
+    from tpuimg.kernels.sep_stencil import (gaussian_pallas_ypadded,
+                                            morph_pallas_ypadded)
+
+    img = rng.random((200, 300), dtype=np.float32)
+    padded = np.pad(img, ((radius, radius), (0, 0)), mode="reflect")
+    out = np.asarray(gaussian_pallas_ypadded(padded, radius, 1.5))
+    assert np.abs(out - gaussian_ref(img, radius, 1.5)).max() < 1e-5
+
+    u8 = rng.integers(0, 256, (200, 300), dtype=np.uint8)
+    padded8 = np.pad(u8, ((radius, radius), (0, 0)), mode="edge")
+    np.testing.assert_array_equal(
+        np.asarray(morph_pallas_ypadded(padded8, radius, 0)),
+        erode_ref(u8, radius))

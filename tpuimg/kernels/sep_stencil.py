@@ -6,12 +6,15 @@ pixel is read from global memory once; gMorphSplit (Morphology/
 image_process.cu:173-299) is the same structure with min/max.
 
 TPU redesign: no ring buffers — VMEM holds whole (band × W) blocks. The grid
-walks row bands; each step streams three auto-pipelined views of the padded
-image (the band plus 8-row top/bottom halo strips, so halo re-reads are ≤ 2·8
-rows per band instead of a full re-fetch), does the x-reduction with lane
-shifts and the y-reduction with sublane shifts in registers, and writes the
-fused result. HBM traffic ≈ one read + one write of the image — half of the
-two-pass XLA separable form.
+walks row bands; each step streams three auto-pipelined views of the RAW
+image (the band plus top/bottom halo strips), builds the border halo INSIDE
+the kernel — reflect-101/replicate row fixes from in-tile slices, x extension
+by lane concatenation — exactly as the reference does its border math inside
+gGaussOptim (reflectBorder, gaussian.h:101, used at gaussian.cu:214-234).
+There is NO pre-kernel jnp.pad: HBM traffic is one read of the image (+ a
+2·hb-row halo re-read per band) and one write of the result. The round-2
+version pre-padded the frame with two jnp.pad copies, which cost a full
+extra HBM round-trip and made the engine lose to the two-pass XLA form.
 
 Used for Gaussian (weighted sum, symmetric-kernel trick gaussian.cu:160-168)
 and morphology (min/max, replicate border) via the ``reduce``/``weights``
@@ -30,9 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpuimg.core.borders import REFLECT101, REPLICATE, pad_mode
 from tpuimg.core.kernelgen import gaussian_kernel_1d
-from tpuimg.core.layout import round_up
+from tpuimg.core.layout import cdiv, round_up
 from tpuimg.kernels import interpret_mode
 from tpuimg.kernels.window import window_extreme
+
 
 def _halo_unit(dtype) -> int:
     """Minimum sublane granularity: (8,128) for 4-byte dtypes, (16,128) for
@@ -40,13 +44,25 @@ def _halo_unit(dtype) -> int:
     return {1: 32, 2: 16}.get(jnp.dtype(dtype).itemsize, 8)
 
 
-# VMEM band budget. The chip (v5e) has 128 MiB VMEM (probed round 2 with a
-# 120 MB scratch), but bigger bands measured NO faster at 4K (10/32/64 MB
-# budgets within noise) and raising the Mosaic vmem_limit_bytes to use them
-# actively HURT (gaussian 0.28 -> 0.43 ms, guided 0.83 -> 0.97 — the
-# compiler schedules better against its default limit). Keep the small
-# budget; don't re-raise without new evidence.
-_VMEM_BUDGET = 10 * 1024 * 1024
+# VMEM band budget. Round-2 measured bigger budgets as useless, but that was
+# with pre-kernel pad copies dominating; with in-kernel borders (round 3) the
+# halo re-read is 2·hb/band of the input stream, so bigger bands win:
+# erode r15 4K 0.140 ms @ 10 MB → 0.117 @ 40 MB, plateau at 80 MB
+# (/tmp/probe_band.log, 2026-08-17). 40 MB it is.
+_VMEM_BUDGET = 40 * 1024 * 1024
+
+# The f32 weighted (gaussian) kernel fails TPU compilation at 4K for bands
+# ≥ 120 rows (tpu_compile_helper exit 1; bisected 112 ok / 120 fail,
+# r7 w=3840). 112 also measures best: r7 sweep 56:0.476 64:0.470 72:0.442
+# 80:0.431 96:0.437 112:0.448 — the aligned-band search below then lands
+# 80 for h=2160. Min/max kernels are unaffected (band 432 compiles + wins).
+_WEIGHTS_BAND_CAP = 112
+
+# The two-stage open/close kernel (4r halos) hits the same compiler failure
+# above ~band 300 at 4K under the 40 MB budget; 64..288 all compile and the
+# curve flattens: r15 0.333/0.301/0.272/0.269/0.254/0.248 ms at
+# 64/96/128/160/224/288 (/tmp/probe_oc.log 2026-08-17).
+_OC_BAND_CAP = 288
 
 
 def _pick_band(h: int, wp: int, dtype) -> int:
@@ -62,8 +78,70 @@ def _pick_band(h: int, wp: int, dtype) -> int:
     return min(band, round_up(h, hu))
 
 
-def _make_kernel(radius: int, band: int, wout: int, weights, is_min, hb: int):
+def _aligned_band(h: int, band: int, hb: int) -> int:
+    """Prefer a band that divides ``h`` exactly (within ~half the budget
+    band): the bottom border fix then lands on the static bot-halo slice
+    instead of a masked full-tile pass. Returns 0 if none exists."""
+    b = (band // hb) * hb
+    while b >= max(hb, band // 2):
+        if h % b == 0:
+            return b
+        b -= hb
+    return 0
+
+
+def _neutral(dtype):
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.asarray(-jnp.inf, dtype)
+    return jnp.asarray(jnp.iinfo(dtype).min, dtype)
+
+
+def _extract_row(tv, j):
+    """Row ``j`` (traced scalar) of a 2D value, as (1, W). Mosaic has no
+    dynamic_slice on values, so extract via a masked max-reduction (the
+    source row must hold valid data, which all callers guarantee)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, tv.shape, 0)
+    return jnp.max(jnp.where(rows == j, tv, _neutral(tv.dtype)), axis=0,
+                   keepdims=True)
+
+
+def _x_extend(tv, d: int, w_in: int, wout: int, reflect: bool,
+              lo: int = 0, hi: int = 0):
+    """Extend a tile to ``d`` halo columns per side, in-kernel.
+
+    ``tv`` holds ``w_in`` valid lanes of which the first ``lo`` and last
+    ``hi`` are REAL halo columns (from a neighboring column strip); the
+    remaining w_out = w_in - lo - hi are the strip's own columns. Missing
+    halo (lo or hi == 0 ⇒ frame edge) is synthesized as reflect-101
+    (reflectBorder, gaussian.h:101) or replicate (image_process.cu:188-191)
+    border columns. Result lanes j ↔ strip column j - d, padded with
+    don't-care lanes to wout + 2d (those only reach outputs ≥ w_out, which
+    the output crop drops). lo/hi must be 0 or d (strips ≥ d wide).
+    """
+    w_out = w_in - lo - hi
+    parts = []
+    if lo == 0:
+        if reflect:
+            parts += [tv[:, d - j : d - j + 1] for j in range(d)]
+        else:
+            parts += [tv[:, 0:1]] * d
+    parts.append(tv[:, :w_in])
+    if hi == 0:
+        e = w_in - 1  # last valid lane (frame edge column)
+        if reflect:
+            parts += [tv[:, e - 1 - m : e - m] for m in range(d)]
+        else:
+            parts += [tv[:, e : e + 1]] * d
+    if wout > w_out:
+        parts.append(tv[:, : wout - w_out])
+    return jnp.concatenate(parts, axis=1)
+
+
+def _make_kernel(radius: int, band: int, w_in: int, wout: int, h: int,
+                 weights, is_min, hb: int, reflect: bool, h_aligned: bool,
+                 lo: int = 0, hi: int = 0, compute_dtype=None):
     r = radius
+    nb = cdiv(h, band)
 
     def x_reduce(t):
         if weights is not None:
@@ -91,76 +169,262 @@ def _make_kernel(radius: int, band: int, wout: int, weights, is_min, hb: int):
         return window_extreme(t, 2 * r + 1, band, axis=0, fn=fn)
 
     def kernel(top_ref, cur_ref, bot_ref, o_ref):
-        t = jnp.concatenate(
-            [top_ref[hb - r :], cur_ref[:], bot_ref[:r]], axis=0
-        )  # (band + 2r, wp)
-        o_ref[:] = y_reduce(x_reduce(t))
+        i = pl.program_id(0)
+
+        def cvt(x):
+            # u8-native mode: blocks stream as uint8 (halving HBM traffic vs
+            # widening outside the kernel); every value is cast at load so
+            # no select/min/max ever runs on u8 lanes (Mosaic rejects those)
+            if compute_dtype is not None:
+                return x.astype(jnp.int32).astype(compute_dtype)
+            return x
+
+        cur = cvt(cur_ref[:])
+        # --- y borders, band 0: rows gy ∈ [-r, 0) reflect to gy' = -gy,
+        # which live at cur rows r-j — static slices, (r, W) select only ---
+        if reflect:
+            top_fix = jnp.concatenate(
+                [cur[r - j : r - j + 1] for j in range(r)], axis=0)
+        else:
+            top_fix = jnp.broadcast_to(cur[0:1], (r, cur.shape[1]))
+        top = jnp.where(i == 0, top_fix, cvt(top_ref[hb - r :]))
+        # --- y borders, last band (h_aligned): rows gy ∈ [h, h+r) reflect
+        # to cur rows band-2-m / replicate cur row band-1 — static again ---
+        if h_aligned:
+            if reflect:
+                bot_fix = jnp.concatenate(
+                    [cur[band - 2 - m : band - 1 - m] for m in range(r)],
+                    axis=0)
+            else:
+                bot_fix = jnp.broadcast_to(cur[band - 1 : band],
+                                           (r, cur.shape[1]))
+            bot = jnp.where(i == nb - 1, bot_fix, cvt(bot_ref[:r]))
+        else:
+            bot = cvt(bot_ref[:r])
+        t = jnp.concatenate([top, cur, bot], axis=0)  # (band+2r, W)
+        if not h_aligned:
+            # bottom rows sit mid-tile when band doesn't divide h: masked
+            # full-tile fix at the dynamic tile row jh of image row h-1
+            jh = h - 1 + r - i * band
+            rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+            if reflect:
+                for m in range(1, r + 1):
+                    src = _extract_row(t, jh - m)
+                    t = jnp.where(rows == jh + m, src, t)
+            else:
+                src = _extract_row(t, jh)
+                t = jnp.where(rows > jh, src, t)
+        ext = _x_extend(t, r, w_in, wout, reflect, lo, hi)
+        res = y_reduce(x_reduce(ext))
+        if compute_dtype is not None:
+            res = res.astype(jnp.int32).astype(o_ref.dtype)
+        o_ref[:] = res
 
     return kernel
 
 
-def _sep_stencil(img, radius: int, weights, is_min: bool, border: str):
-    """Run the fused engine on a 2D image."""
-    h, w = img.shape
+def _band_specs(band: int, hb: int, wb: int, h: int):
+    """Three overlapping row views of the RAW (h, w) image: top halo strip,
+    current band, bottom halo strip. Index maps clamp at the image edges
+    (band 0's top / last band's bottom then hold garbage rows, which the
+    in-kernel border fixes overwrite)."""
+    bpr = band // hb
+    nbh = cdiv(h, hb)
+    return [
+        pl.BlockSpec((hb, wb), lambda i: (jnp.maximum(i * bpr - 1, 0), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((band, wb), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hb, wb),
+                     lambda i: (jnp.minimum((i + 1) * bpr, nbh - 1), 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+# Widest lane block the weighted/min-max band kernels compile at: 4K frames
+# (3968 lanes) work, 8K (7680) fail TPU compilation. Wider frames run in
+# column strips whose interior edges carry REAL halo columns.
+_MAX_LANES = 4096
+
+
+def _sep_stencil(img, radius: int, weights, is_min: bool, border: str,
+                 lo: int = 0, hi: int = 0, compute_dtype=None):
+    """Run the fused engine on a raw 2D image — borders in-kernel.
+
+    ``lo``/``hi``: real halo columns already present at the left/right edge
+    (column-strip decomposition of wide frames); 0 means frame edge (border
+    policy applies). ``compute_dtype``: in-kernel widening for uint8 inputs.
+    """
+    h, w_in = img.shape
     r = radius
-    wout = round_up(w, 128)
-    wp = round_up(wout + 2 * r, 128)
+    w_out = w_in - lo - hi
+    reflect = pad_mode(border) == "reflect"
+    if reflect and (h <= r or w_out <= r):
+        raise ValueError(
+            f"reflect-101 border needs H, W > radius; got {h}x{w_out}, r={r}")
+    wout = round_up(w_out, 128)
+    wb = round_up(w_in, 128)  # input lane block; lanes ≥ w_in are don't-care
     hu = _halo_unit(img.dtype)
     hb = round_up(max(r, 1), hu)
-    band = round_up(max(_pick_band(h, wp, img.dtype), hb), hb)
-    hp = round_up(h, band)
+    band = round_up(max(_pick_band(h, wb, img.dtype), hb), hb)
+    if weights is not None:
+        band = min(band, max(hb, (_WEIGHTS_BAND_CAP // hb) * hb))
+    band = min(band, round_up(h, hb))
+    ab = _aligned_band(h, band, hb)
+    if ab and h % band != 0:
+        band = ab
+    h_aligned = h % band == 0
 
-    # reflect/replicate halo + alignment padding (values in the alignment
-    # region never reach a valid output pixel)
-    x = jnp.pad(img, ((r, r), (r, r)), mode=pad_mode(border))
-    x = jnp.pad(x, ((band - r, hp - h - r + hb), (0, wp - w - 2 * r)), mode="edge")
-    # rows: [band - r, band + h + r) hold the halo-padded image
+    kernel = _make_kernel(r, band, w_in, wout, h, weights, is_min, hb,
+                          reflect, h_aligned, lo, hi, compute_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(cdiv(h, band),),
+        in_specs=_band_specs(band, hb, wb, h),
+        out_specs=pl.BlockSpec((band, wout), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w_out), img.dtype),
+        interpret=interpret_mode(),
+    )(img, img, img)
+    return out
 
-    kernel = _make_kernel(r, band, wout, weights, is_min, hb)
-    bpr = band // hb  # halo-blocks per band
+
+def _sep_stencil_strips(img, radius: int, weights, is_min: bool, border: str,
+                        compute_dtype=None):
+    """Column-strip driver: frames wider than _MAX_LANES are processed in
+    strips whose slices carry ``radius`` REAL halo columns from the
+    neighboring strip (one slice copy per strip — still ~2.4x faster than
+    the XLA strip path at 8K)."""
+    h, w = img.shape
+    r = radius
+    if w <= _MAX_LANES:
+        return _sep_stencil(img, radius, weights, is_min, border,
+                            compute_dtype=compute_dtype)
+    step = _MAX_LANES - 256  # room for halos while staying under the cap
+    outs = []
+    x0 = 0
+    while x0 < w:
+        x1 = min(w, x0 + step)
+        if w - x1 <= r:  # a tail thinner than the halo can't reflect from
+            x1 = w       # a neighbor strip — absorb it into this strip
+        lo = min(r, x0)
+        hi = r if x1 < w else 0
+        seg = jax.lax.slice_in_dim(img, x0 - lo, x1 + hi, axis=1)
+        outs.append(_sep_stencil(seg, radius, weights, is_min, border,
+                                 lo=lo, hi=hi, compute_dtype=compute_dtype))
+        x0 = x1
+    return jnp.concatenate(outs, axis=1)
+
+
+def _sep_stencil_ypadded(x, radius: int, weights, is_min: bool, border: str,
+                         compute_dtype=None):
+    """Fused engine on a block whose row axis is ALREADY padded by ``radius``
+    rows per side (halo rows from a neighbor shard, or border rows applied
+    by the sharding layer). x borders are still built in-kernel. Entry point
+    for parallel.stencil_sharded — each shard runs the fused Pallas chain
+    (the reference analog each shard should execute: gGaussOptim /
+    gMorphSplit) instead of the XLA fallback."""
+    hin, w = x.shape
+    r = radius
+    h = hin - 2 * r  # output rows
+    reflect = pad_mode(border) == "reflect"
+    if h < 1:
+        raise ValueError(f"ypadded block must have > 2*radius rows; got {hin}")
+    wout = round_up(w, 128)
+    hu = _halo_unit(x.dtype)
+    hb = round_up(max(2 * r, 1), hu)
+    band = round_up(max(_pick_band(h, wout, x.dtype), hb), hb)
+    if weights is not None:
+        band = min(band, max(hb, (_WEIGHTS_BAND_CAP // hb) * hb))
+    band = min(band, round_up(h, hb))
+    nbh = cdiv(hin, hb)
+
+    def kernel(cur_ref, bot_ref, o_ref):
+        t = jnp.concatenate([cur_ref[:], bot_ref[: 2 * r]], axis=0)
+        if compute_dtype is not None:
+            t = t.astype(jnp.int32).astype(compute_dtype)
+        ext = _x_extend(t, r, w, wout, reflect)
+        if weights is not None:
+            acc = jnp.float32(weights[r]) * ext[:, r : r + wout]
+            for k in range(1, r + 1):
+                acc = acc + jnp.float32(weights[r - k]) * (
+                    ext[:, r - k : r - k + wout]
+                    + ext[:, r + k : r + k + wout])
+            rowf = acc
+            accy = jnp.float32(weights[r]) * rowf[r : r + band]
+            for k in range(1, r + 1):
+                accy = accy + jnp.float32(weights[r - k]) * (
+                    rowf[r - k : r - k + band] + rowf[r + k : r + k + band])
+            o_ref[:] = accy
+        else:
+            fn = jnp.minimum if is_min else jnp.maximum
+            rowf = window_extreme(ext, 2 * r + 1, wout, axis=1, fn=fn)
+            res = window_extreme(rowf, 2 * r + 1, band, axis=0, fn=fn)
+            if compute_dtype is not None:
+                res = res.astype(jnp.int32).astype(o_ref.dtype)
+            o_ref[:] = res
 
     out = pl.pallas_call(
         kernel,
-        grid=(hp // band,),
+        grid=(cdiv(h, band),),
         in_specs=[
-            # top halo strip: rows [ (i+1)*band - hb, (i+1)*band )
-            pl.BlockSpec((hb, wp), lambda i: ((i + 1) * bpr - 1, 0),
+            pl.BlockSpec((band, wout), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            # current band: rows [ (i+1)*band, (i+2)*band )
-            pl.BlockSpec((band, wp), lambda i: (i + 1, 0),
-                         memory_space=pltpu.VMEM),
-            # bottom halo strip: rows [ (i+2)*band, (i+2)*band + hb )
-            pl.BlockSpec((hb, wp), lambda i: ((i + 2) * bpr, 0),
+            pl.BlockSpec((hb, wout),
+                         lambda i: (jnp.minimum((i + 1) * (band // hb),
+                                                nbh - 1), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((band, wout), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, wout), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((h, w), x.dtype),
         interpret=interpret_mode(),
-    )(x, x, x)
-    return out[:h, :w]
+    )(x, x)
+    return out
 
 
-def _open_close_kernel(r: int, band: int, wout: int, w: int, h: int,
-                       first_min: bool, hb: int):
+def _open_close_kernel(r: int, band: int, w: int, wout: int, h: int,
+                       first_min: bool, hb: int, h_aligned: bool,
+                       compute_dtype=None):
     """Fused open/close: stage-1 extreme on a (band+2r, wout+2r) extent from
     a 2r halo, stage-2 extreme of the opposite sense on the band.
 
-    The composed op's replicate border acts on the STAGE-1 RESULT, so
-    stage-1 values outside the image must be clamped to the nearest valid
-    row/column (a fresh extreme over replicated raw pixels would differ:
-    its window is a subset, so its min is >= the true edge value).
+    Border = replicate, built in-kernel (depth 2r). The composed op's
+    replicate border acts on the STAGE-1 RESULT, so stage-1 values outside
+    the image must be clamped to the nearest valid row/column (a fresh
+    extreme over replicated raw pixels would differ: its window is a subset,
+    so its min is >= the true edge value).
     """
     ksz = 2 * r + 1
     fn1 = jnp.minimum if first_min else jnp.maximum
     fn2 = jnp.maximum if first_min else jnp.minimum
+    nb = cdiv(h, band)
 
     def kernel(top_ref, cur_ref, bot_ref, o_ref):
         i = pl.program_id(0)
-        t = jnp.concatenate(
-            [top_ref[hb - 2 * r :], cur_ref[:], bot_ref[: 2 * r]], axis=0
-        )  # (band + 4r, wp)
-        s1 = window_extreme(t, ksz, wout + 2 * r, axis=1, fn=fn1)
+
+        def cvt(x):
+            if compute_dtype is not None:
+                return x.astype(jnp.int32).astype(compute_dtype)
+            return x
+
+        cur = cvt(cur_ref[:])
+        # y replicate fixes (depth 2r): band 0's top halo ← row 0; last
+        # band's bottom halo ← row h-1 (static when band divides h)
+        top_fix = jnp.broadcast_to(cur[0:1], (2 * r, cur.shape[1]))
+        top = jnp.where(i == 0, top_fix, cvt(top_ref[hb - 2 * r :]))
+        if h_aligned:
+            bot_fix = jnp.broadcast_to(cur[band - 1 : band],
+                                       (2 * r, cur.shape[1]))
+            bot = jnp.where(i == nb - 1, bot_fix, cvt(bot_ref[: 2 * r]))
+        else:
+            bot = cvt(bot_ref[: 2 * r])
+        t = jnp.concatenate([top, cur, bot], axis=0)  # (band+4r, W)
+        if not h_aligned:
+            jh = h - 1 + 2 * r - i * band
+            rows4 = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+            t = jnp.where(rows4 > jh, _extract_row(t, jh), t)
+        ext = _x_extend(t, 2 * r, w, wout, False)  # width wout + 4r
+        s1 = window_extreme(ext, ksz, wout + 2 * r, axis=1, fn=fn1)
         s1 = window_extreme(s1, ksz, band + 2 * r, axis=0, fn=fn1)
         # s1 lane l <-> stage-1 column x = l - r; clamp x to [0, w)
         left = jnp.broadcast_to(s1[:, r : r + 1], (band + 2 * r, r))
@@ -171,64 +435,58 @@ def _open_close_kernel(r: int, band: int, wout: int, w: int, h: int,
         gy = (jax.lax.broadcasted_iota(jnp.int32, (band + 2 * r, 1), 0)
               + i * band - r)
         s1 = jnp.where(gy < 0, s1[r : r + 1, :], s1)
-        # Mosaic has no dynamic_slice on values: extract the clamp row
-        # (stage-1 row of global row h-1) with a masked reduction instead
-        jh = jnp.clip(h - 1 + r - i * band, 0, band + 2 * r - 1)
-        rows = jax.lax.broadcasted_iota(jnp.int32, s1.shape, 0)
-        bot_row = jnp.max(jnp.where(rows == jh, s1, s1.dtype.type(-jnp.inf)
-                                    if jnp.issubdtype(s1.dtype, jnp.floating)
-                                    else jnp.iinfo(s1.dtype).min),
-                          axis=0, keepdims=True)
-        s1 = jnp.where(gy > h - 1, bot_row, s1)
+        jh1 = jnp.clip(h - 1 + r - i * band, 0, band + 2 * r - 1)
+        s1 = jnp.where(gy > h - 1, _extract_row(s1, jh1), s1)
         s2 = window_extreme(s1, ksz, wout, axis=1, fn=fn2)
-        o_ref[:] = window_extreme(s2, ksz, band, axis=0, fn=fn2)
+        res = window_extreme(s2, ksz, band, axis=0, fn=fn2)
+        if compute_dtype is not None:
+            res = res.astype(jnp.int32).astype(o_ref.dtype)
+        o_ref[:] = res
 
     return kernel
 
 
-def _open_close(img, radius: int, first_min: bool):
+def _open_close(img, radius: int, first_min: bool, compute_dtype=None):
     """Fused open (erode then dilate) / close on a 2D image — one HBM pass
     where the composed form is two (the reference composes two full
-    hMorphology launches, morphology.cpp:25-60)."""
+    hMorphology launches, morphology.cpp:25-60). Borders in-kernel."""
     h, w = img.shape
     r = radius
     wout = round_up(w, 128)
-    wp = round_up(wout + 4 * r, 128)
     hu = _halo_unit(img.dtype)
     hb = round_up(2 * r, hu)
-    band = round_up(max(_pick_band(h, wp, img.dtype), hb), hb)
-    hp = round_up(h, band)
+    band = round_up(max(_pick_band(h, wout, img.dtype), hb), hb)
+    band = min(band, max(hb, (_OC_BAND_CAP // hb) * hb))
+    band = min(band, round_up(h, hb))
+    ab = _aligned_band(h, band, hb)
+    if ab and h % band != 0:
+        band = ab
+    h_aligned = h % band == 0
 
-    x = jnp.pad(img, ((2 * r, 2 * r), (2 * r, 2 * r)), mode="edge")
-    x = jnp.pad(x, ((band - 2 * r, hp - h - 2 * r + hb),
-                    (0, wp - w - 4 * r)), mode="edge")
-
-    kernel = _open_close_kernel(r, band, wout, w, h, first_min, hb)
-    bpr = band // hb
+    kernel = _open_close_kernel(r, band, w, wout, h, first_min, hb, h_aligned,
+                                compute_dtype)
     out = pl.pallas_call(
         kernel,
-        grid=(hp // band,),
-        in_specs=[
-            pl.BlockSpec((hb, wp), lambda i: ((i + 1) * bpr - 1, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((band, wp), lambda i: (i + 1, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hb, wp), lambda i: ((i + 2) * bpr, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid=(cdiv(h, band),),
+        in_specs=_band_specs(band, hb, wout, h),
         out_specs=pl.BlockSpec((band, wout), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, wout), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((h, w), img.dtype),
         interpret=interpret_mode(),
-    )(x, x, x)
-    return out[:h, :w]
+    )(img, img, img)
+    return out
 
 
 def open_close_pallas(img, radius: int, mode: int):
     """Fused morphological open (mode 0) / close (mode 1), replicate border.
-    uint8 widens like morphology_pallas."""
+    uint8 streams u8 blocks with the in-kernel bf16 widen (_U8_WIDEN).
+    Frames wider than _MAX_LANES compose two strip-stencil passes instead
+    (the fused kernel's lane block would not compile)."""
     img = jnp.asarray(img)
     first_min = mode == 0  # open erodes (min) first
+    if img.shape[-1] > _MAX_LANES:
+        stage1 = morphology_pallas(img, radius, 0 if first_min else 1)
+        return morphology_pallas(stage1, radius, 1 if first_min else 0)
     if img.dtype == jnp.uint8:
         return _over_batch(
             lambda v: _open_close(
@@ -254,19 +512,27 @@ def gaussian_pallas(img, radius: int, sigma: float):
     """Fused separable Gaussian (reflect-101), one HBM pass."""
     w = [float(v) for v in np.asarray(gaussian_kernel_1d(2 * radius + 1, sigma))]
     return _over_batch(
-        lambda v: _sep_stencil(jnp.asarray(v, jnp.float32), radius, w, False,
-                               REFLECT101),
+        lambda v: _sep_stencil_strips(jnp.asarray(v, jnp.float32), radius, w,
+                                      False, REFLECT101),
         jnp.asarray(img))
 
 
-# compute dtype for u8 morphology: Mosaic rejects u8-native MIN/MAX blocks
-# for this kernel shape (probed round 2), so widen minimally — bf16 halves
-# the VMEM and HBM traffic of the round-1 int32 widening, and min/max over
-# integers <= 255 is bf16-exact. u8 BLOCKS with an in-kernel cast to bf16
-# (skipping the XLA widen/narrow passes entirely) DO compile and are exact,
-# but measured no faster: open r15 batch2 0.870 -> 0.848 ms (noise), single
-# erode r15 0.280 -> 0.302 ms (WORSE) — XLA already fuses the widen into
-# the pad and the kernel is VPU-bound; keep the simpler widened form.
+def gaussian_pallas_ypadded(x, radius: int, sigma: float):
+    """Fused Gaussian on a row-padded block (see _sep_stencil_ypadded)."""
+    w = [float(v) for v in np.asarray(gaussian_kernel_1d(2 * radius + 1, sigma))]
+    return _over_batch(
+        lambda v: _sep_stencil_ypadded(jnp.asarray(v, jnp.float32), radius,
+                                       w, False, REFLECT101),
+        jnp.asarray(x))
+
+
+# compute dtype for u8 morphology: widen to bf16 OUTSIDE the kernel (min/max
+# over integers <= 255 is bf16-exact). Re-probed round 3 with the in-kernel
+# borders: u8-native blocks + in-kernel cast (compute_dtype=_U8_WIDEN) are
+# exact but SLOWER — erode r2 0.114 vs 0.080 ms, r15 0.158 vs 0.117
+# (/tmp/probe_u8.log 2026-08-17) — the (32,128) u8 tile granularity doubles
+# the halo block height (hb 32 vs 16) and the load-cast costs more than the
+# XLA widen/narrow passes it saves. Keep the outside widen.
 _U8_WIDEN = jnp.bfloat16
 
 
@@ -279,10 +545,26 @@ def morphology_pallas(img, radius: int, mode: int):
     img = jnp.asarray(img)
     if img.dtype == jnp.uint8:
         return _over_batch(
-            lambda v: _sep_stencil(
+            lambda v: _sep_stencil_strips(
                 v.astype(jnp.int32).astype(_U8_WIDEN), radius, None,
                 mode == 0, REPLICATE
             ).astype(jnp.int32).astype(jnp.uint8),
             img)
     return _over_batch(
-        lambda v: _sep_stencil(v, radius, None, mode == 0, REPLICATE), img)
+        lambda v: _sep_stencil_strips(v, radius, None, mode == 0, REPLICATE),
+        img)
+
+
+def morph_pallas_ypadded(x, radius: int, mode: int):
+    """Fused erode/dilate on a row-padded block (see _sep_stencil_ypadded)."""
+    x = jnp.asarray(x)
+    if x.dtype == jnp.uint8:
+        return _over_batch(
+            lambda v: _sep_stencil_ypadded(
+                v.astype(jnp.int32).astype(_U8_WIDEN), radius, None,
+                mode == 0, REPLICATE
+            ).astype(jnp.int32).astype(jnp.uint8),
+            x)
+    return _over_batch(
+        lambda v: _sep_stencil_ypadded(v, radius, None, mode == 0, REPLICATE),
+        x)

@@ -174,6 +174,22 @@ def _clip_redistribute(hists, limit: int):
     return clipped + bonus + extra
 
 
+def _bilinear_blend(t11, t12, t21, t22, xa, ya):
+    """The 4-LUT bilinear lerp (gInterpolateMappingUnroll,
+    image_process.cu:462-469). Single source of truth for the blend formula —
+    consumed by the local XLA mapping below AND parallel.clahe_sharded, so a
+    rounding change can never skew one against the other."""
+    xa1 = jnp.float32(1.0) - xa
+    ya1 = jnp.float32(1.0) - ya
+    return (t11 * xa1 + t12 * xa) * ya1 + (t21 * xa1 + t22 * xa) * ya
+
+
+def _blend_to_u8(out):
+    """float → uchar device assignment: truncate with clamp (the CUDA
+    implicit conversion in image_process.cu:469). Shared with clahe_sharded."""
+    return jnp.clip(jnp.trunc(out), 0.0, 255.0).astype(jnp.uint8)
+
+
 def _tile_coord_runs(n: int, tiles: int, tsize: int, pad: int, use_recip: bool):
     """Static per-axis region decomposition of the interpolation coordinates.
 
@@ -284,11 +300,9 @@ def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
     bands = []
     for y0, y1, ty1, ty2, ya_np in yruns:
         ya = jnp.asarray(ya_np, jnp.float32)[:, None]
-        ya1 = jnp.float32(1.0) - ya
         row_chunks = []
         for x0, x1, tx1, tx2, xa_np in xruns:
             xa = jnp.asarray(xa_np, jnp.float32)[None, :]
-            xa1 = jnp.float32(1.0) - xa
             v = img[y0:y1, x0:x1]
             t11, t12, t21, t22 = lut_apply4(
                 tables[ty1 * xtiles + tx1],
@@ -297,9 +311,6 @@ def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
                 tables[ty2 * xtiles + tx2],
                 v,
             )
-            out = (t11 * xa1 + t12 * xa) * ya1 + (t21 * xa1 + t22 * xa) * ya
-            row_chunks.append(out)
+            row_chunks.append(_bilinear_blend(t11, t12, t21, t22, xa, ya))
         bands.append(jnp.concatenate(row_chunks, axis=-1))
-    out = jnp.concatenate(bands, axis=-2)
-    # float → uchar assignment truncates (with clamp) on the device
-    return jnp.clip(jnp.trunc(out), 0.0, 255.0).astype(jnp.uint8)
+    return _blend_to_u8(jnp.concatenate(bands, axis=-2))

@@ -70,12 +70,13 @@ def _van_herk_axis(x, radius: int, axis: int, fn, cumfn):
     return fn(s, p)
 
 
-# honest streaming crossover on v5e 4K (compare_impls.log, round 2):
-# XLA shift-reduce wins through r~4 (r2: 0.19 vs 0.25 ms), the Pallas
-# doubling-window engine wins from r~5 up (r6: 0.28 vs 0.42; r15: 0.32 vs
-# 0.67; r25: 0.38 vs 0.69) — the reference's own ladder switches at r7
-# (hMorphology, image_process.cu:465-516)
-_PALLAS_MIN_RADIUS = 5
+# Round 2 measured an XLA window below r=5; with in-kernel borders (round 3)
+# the Pallas engine wins at EVERY radius on v5e 4K (r1: 0.065 vs 0.123 ms,
+# r2: 0.080 vs 0.190, r4: 0.096 vs 0.307, r15: 0.117, r25: 0.159 —
+# /tmp/probe_full.log 2026-08-17, archived in docs/PERFORMANCE.md), so the
+# dispatch ladder (the hMorphology analog, image_process.cu:465-516)
+# collapses to pallas-on-TPU / XLA-on-CPU.
+_PALLAS_MIN_RADIUS = 1
 
 
 def _morph(img, radius: int, mode: int, impl: str = "auto"):

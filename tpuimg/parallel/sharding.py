@@ -367,7 +367,6 @@ def clahe_sharded(mesh: Mesh, clip_limit: float, xtiles: int, ytiles: int):
             ty1 = jnp.trunc(tyf).astype(jnp.int32)
             ty2 = jnp.minimum(ty1 + 1, ytiles - 1)
             ya = (tyf - ty1.astype(jnp.float32))[:, None]
-            ya1 = jnp.float32(1.0) - ya
 
             tabs3 = tables.reshape(ytiles * xtiles, 16, 16)
             oh_hi, oh_lo = onehot_nibbles(block, jnp.float32)  # (hs, w, 16)
@@ -380,21 +379,18 @@ def clahe_sharded(mesh: Mesh, clip_limit: float, xtiles: int, ytiles: int):
                                  precision="highest")
                 return jnp.sum(mid * oh_lo[:, x0:x1], axis=-1)  # (hs, run)
 
-            from tpuimg.ops.histogram import _tile_coord_runs
+            from tpuimg.ops.histogram import (_bilinear_blend, _blend_to_u8,
+                                              _tile_coord_runs)
 
             chunks = []
             for x0, x1, tx1, tx2, xa_np in _tile_coord_runs(
                     w, xtiles, tw, pad_left, use_recip=True):
                 xa = jnp.asarray(xa_np, jnp.float32)[None, :]
-                xa1 = jnp.float32(1.0) - xa
-                t11 = corner(ty1, tx1, x0, x1)
-                t12 = corner(ty1, tx2, x0, x1)
-                t21 = corner(ty2, tx1, x0, x1)
-                t22 = corner(ty2, tx2, x0, x1)
-                chunks.append((t11 * xa1 + t12 * xa) * ya1
-                              + (t21 * xa1 + t22 * xa) * ya)
-            out = jnp.concatenate(chunks, axis=-1)
-            return jnp.clip(jnp.trunc(out), 0.0, 255.0).astype(jnp.uint8)
+                chunks.append(_bilinear_blend(
+                    corner(ty1, tx1, x0, x1), corner(ty1, tx2, x0, x1),
+                    corner(ty2, tx1, x0, x1), corner(ty2, tx2, x0, x1),
+                    xa, ya))
+            return _blend_to_u8(jnp.concatenate(chunks, axis=-1))
 
         return inner(img)
 
