@@ -205,3 +205,56 @@ def test_sep_stencil_ypadded_matches_local(rng, radius):
     np.testing.assert_array_equal(
         np.asarray(morph_pallas_ypadded(padded8, radius, 0)),
         erode_ref(u8, radius))
+
+
+@pytest.mark.parametrize("shape,radius", [((1024, 300), 6), ((700, 130), 6),
+                                          ((1024, 300), 16)])
+def test_guided_pallas_band_borders(rng, shape, radius):
+    """Multi-band + unaligned-h coverage for the in-kernel border onepass.
+    r=16 exercises halo depth 2r=32 == the halo block unit (a round-3 bug
+    made the reflect fix read past a band <= 2r)."""
+    from tpuimg.kernels.boxsum import guided_filter_pallas
+
+    I = rng.random(shape, dtype=np.float32)
+    p = np.clip(I + 0.1 * rng.standard_normal(shape), 0, 1).astype(np.float32)
+    out = np.asarray(guided_filter_pallas(I, p, radius, 1e-3))
+    ref = guided_filter_ref(I, p, radius, 1e-3, border="reflect101")
+    assert np.abs(out - ref).max() < 1e-5
+
+
+def test_guided_pallas_strips_real_halo(rng):
+    """Interior strip edges must consume REAL halo columns, not reflect."""
+    import tpuimg.kernels.boxsum as bx
+
+    old = bx._MAX_STRIP, bx._MAX_STRIP_SELF
+    bx._MAX_STRIP = bx._MAX_STRIP_SELF = 256
+    try:
+        I = rng.random((120, 700), dtype=np.float32)
+        p = np.clip(I + 0.1 * rng.standard_normal(I.shape), 0,
+                    1).astype(np.float32)
+        out = np.asarray(bx.guided_filter_pallas(I, p, 4, 1e-3))
+        ref = guided_filter_ref(I, p, 4, 1e-3, border="reflect101")
+        assert np.abs(out - ref).max() < 1e-5
+        outs = np.asarray(bx.guided_filter_pallas(I, I, 4, 1e-3,
+                                                  self_guided=True))
+        refs = guided_filter_ref(I, I, 4, 1e-3, border="reflect101")
+        assert np.abs(outs - refs).max() < 1e-5
+    finally:
+        bx._MAX_STRIP, bx._MAX_STRIP_SELF = old
+
+
+@pytest.mark.parametrize("self_guided", [False, True])
+def test_guided_pallas_ypadded_matches_local(rng, self_guided):
+    from tpuimg.kernels.boxsum import guided_pallas_ypadded
+
+    r = 5
+    I = rng.random((200, 260), dtype=np.float32)
+    p = I if self_guided else np.clip(
+        I + 0.1 * rng.standard_normal(I.shape), 0, 1).astype(np.float32)
+    Ipad = np.pad(I, ((2 * r, 2 * r), (0, 0)), mode="reflect")
+    ppad = Ipad if self_guided else np.pad(
+        p, ((2 * r, 2 * r), (0, 0)), mode="reflect")
+    out = np.asarray(guided_pallas_ypadded(Ipad, ppad, r, 1e-3,
+                                           self_guided=self_guided))
+    ref = guided_filter_ref(I, p, r, 1e-3, border="reflect101")
+    assert np.abs(out - ref).max() < 1e-5

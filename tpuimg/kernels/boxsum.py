@@ -6,14 +6,19 @@ windowed box means of P, I, I·P, I·I (smem ring planes :426-429) and from them
 a, b directly (:552-560); a second kernel box-sums A, B and forms
 q = (ΣA·I + ΣB)/ksz² (:788). Border reflect-101, normalization 1/ksz².
 
-TPU redesign: two Pallas band kernels sharing the sep_stencil halo-stream
-layout. Window sums are unrolled shifted adds over VMEM blocks (lane shifts
-for x, sublane shifts for y); the a/b algebra fuses into the same pass, so
-pass A is one read of (I, P) and one write of (A, B).
+TPU redesign: Pallas band kernels sharing the sep_stencil halo-stream
+layout. Window sums are log-depth doubling ladders over VMEM blocks (lane
+shifts for x, sublane shifts for y); the a/b algebra fuses into the same
+pass. The default "onepass" variant pre-pads the frame and keeps A/B out of
+HBM entirely (one kernel); see the note above _guided_strip_onepass for why
+the pad-based layout beats the fully in-kernel-border form HERE (unlike
+sep_stencil, where in-kernel borders win decisively). The sharding layer's
+entry point (_guided_onepass_ypadded) uses the in-kernel x borders, since
+halo-exchanged shards arrive row-padded but not column-padded.
 
-Wide images are processed in column strips of ≤ 2048 output columns, each
-carrying a 2r-deep x halo so pass A → pass B compose exactly (the Mosaic
-compiler rejects ~4K-lane blocks for this kernel; strips also bound VMEM).
+Wide images run in column strips (≤ 2048 output columns for the 6-stream
+general kernel, ≤ 3968 for the 3-stream self-guided one — Mosaic rejects
+wider lane blocks).
 
 Measured dead end (v5e, r=8 4K self-guided): offloading the y-direction
 window sums to the MXU as banded-ones bf16 matmuls — 0.63 ms with the
@@ -34,11 +39,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpuimg.core.borders import REFLECT101, pad_mode
-from tpuimg.core.layout import round_up
+from tpuimg.core.layout import cdiv, round_up
 from tpuimg.kernels import interpret_mode
+from tpuimg.kernels.sep_stencil import (_aligned_band, _assemble_rows,
+                                        _band_specs, _x_extend)
 from tpuimg.kernels.window import window_sum
 
-_MAX_STRIP = 2048  # output columns per strip
+_MAX_STRIP = 2048  # output columns per strip (6-stream general kernel)
+# The 3-stream self-guided kernel compiles at 4K-lane blocks (4096 measured
+# round 2); 3968 keeps w_in + halos + tail-absorb under that bound.
+_MAX_STRIP_SELF = 3968
 
 
 # VMEM band budget — small on purpose; see sep_stencil._VMEM_BUDGET for the
@@ -55,11 +65,11 @@ def _pick_band(h: int, wp: int) -> int:
     return min(band, round_up(h, 8))
 
 
-def _xsum(t, ksz, wout):
+def _xsum(t, ksz, wout, start=0):
     # log-depth doubling window sum (kernels/window.py): ~log2(ksz)+popcount
     # adds per pixel instead of ksz-1 — keeps the fused path winning at the
     # reference's full r1-7 ladder and beyond (guided_filter_d.cu:1047-1093)
-    return window_sum(t, ksz, wout, axis=1)
+    return window_sum(t, ksz, wout, axis=1, start=start)
 
 
 def _ysum(t, ksz, rows):
@@ -76,7 +86,9 @@ def _pad_rows_for_bands(x, r: int, band: int, hb: int, wp: int):
                    mode="edge")
 
 
-def _band_specs(band: int, hb: int, wp: int):
+def _band_specs_padded(band: int, hb: int, wp: int):
+    """Halo views over a PRE-PADDED array (the twopass variant keeps the
+    reference's A/B-through-HBM structure and its pad-based layout)."""
     bpr = band // hb
     return [
         pl.BlockSpec((hb, wp), lambda i: ((i + 1) * bpr - 1, 0), memory_space=pltpu.VMEM),
@@ -119,7 +131,7 @@ def _guided_strip(Iseg, pseg, r: int, eps: float):
 
     Ip = _pad_rows_for_bands(Iseg, r, band, hb, wp)
     Pp = _pad_rows_for_bands(pseg, r, band, hb, wp)
-    specs = _band_specs(band, hb, wp)
+    specs = _band_specs_padded(band, hb, wp)
     A, B = pl.pallas_call(
         ab_kernel,
         grid=(hp // band,),
@@ -145,7 +157,7 @@ def _guided_strip(Iseg, pseg, r: int, eps: float):
     Bp = _pad_rows_for_bands(B[:h, :w_ab], r, band, hb, wp2)
     Io = jnp.pad(Iseg[:, 2 * r : 2 * r + w_out],
                  ((0, hp - h), (0, wout_l - w_out)), mode="edge")
-    specs2 = _band_specs(band, hb, wp2)
+    specs2 = _band_specs_padded(band, hb, wp2)
     q = pl.pallas_call(
         q_kernel,
         grid=(hp // band,),
@@ -157,6 +169,17 @@ def _guided_strip(Iseg, pseg, r: int, eps: float):
         interpret=interpret_mode(),
     )(Ap, Ap, Ap, Bp, Bp, Bp, Io)
     return q[:h, :w_out]
+
+
+# Round-3 finding: moving the guided borders fully in-kernel (raw inputs,
+# clamped halo views + row fixes, like sep_stencil) measured SLOWER than this
+# pad-based kernel at 4K self-guided r8 — 0.72 ms in-kernel vs 0.67 hybrid
+# (x-prepad only) vs 0.59 here — and isolation probes showed the row fixes
+# and x extension cost ~nothing: the regression is structural (clamped
+# index maps / partial last blocks / coarser 4r-halo band geometry), see
+# /tmp/probe_iso.log 2026-08-17. The local op therefore keeps this round-2
+# kernel; the in-kernel-border machinery lives on in _guided_onepass_ypadded
+# (the sharding entry point) and sep_stencil (where it wins decisively).
 
 
 def _guided_strip_onepass(Iseg, pseg, r: int, eps: float):
@@ -259,6 +282,130 @@ def _guided_strip_onepass(Iseg, pseg, r: int, eps: float):
     return q[:h, :w_out]
 
 
+
+
+def _guided_onepass_ypadded(X, P, r: int, eps: float, self_guided: bool,
+                            lo: int = 0, hi: int = 0):
+    """One-pass guided filter on a block whose row axis is ALREADY padded by
+    2r rows per side (halo rows from a neighbor shard or the border policy).
+    x borders are built in-kernel. Entry point for
+    parallel.guided_filter_sharded — each shard runs the fused chain
+    (GuidedFilter/guided_filter_d.cu:421-858) instead of the XLA fallback.
+    """
+    hin, w_in = X.shape
+    h = hin - 4 * r
+    w = w_in - lo - hi
+    if h < 1:
+        raise ValueError(f"ypadded block must have > 4*radius rows; got {hin}")
+    ksz = 2 * r + 1
+    coef = 1.0 / (ksz * ksz)
+    wout_l = round_up(w, 128)
+    wab_l = wout_l + 2 * r
+    wb = round_up(w_in, 128)
+    hb = round_up(4 * r, 8)
+    band = round_up(max(_pick_band(h, wb) * 2, hb), hb)
+    band = min(band, round_up(h, hb))
+    nb = cdiv(h, band)
+    nbh = cdiv(hin, hb)
+    rows_ab = band + 2 * r
+
+    OFF = lo if lo > 0 else round_up(2 * r, 128)  # ext lane of column 0
+
+    def mean(x):
+        return _ysum(_xsum(x, ksz, wab_l, start=OFF - 2 * r), ksz,
+                     rows_ab) * jnp.float32(coef)
+
+    def assemble(cur, bot):
+        t = jnp.concatenate([cur[:], bot[: 4 * r]], axis=0)  # (band+4r, W)
+        return _x_extend(t, 2 * r, w_in, wout_l, True, lo, hi)[0]
+
+    def _finish(Iv, imu, pmu, ipmu, iimu, q_ref):
+        a = (ipmu - pmu * imu) / (iimu - imu * imu + jnp.float32(eps))
+        b = pmu - a * imu
+        asum = _ysum(_xsum(a, ksz, wout_l), ksz, band)
+        bsum = _ysum(_xsum(b, ksz, wout_l), ksz, band)
+        Icen = Iv[2 * r : 2 * r + band, OFF : OFF + wout_l]
+        q_ref[:] = (asum * Icen + bsum) * jnp.float32(coef)
+
+    def kernel(Ic, Ib2, Pc, Pb2, q_ref):
+        Iv = assemble(Ic, Ib2)
+        Pv = assemble(Pc, Pb2)
+        imu = mean(Iv)
+        pmu = mean(Pv)
+        _finish(Iv, imu, pmu, mean(Iv * Pv), mean(Iv * Iv), q_ref)
+
+    def kernel_self(Ic, Ib2, q_ref):
+        Iv = assemble(Ic, Ib2)
+        imu = mean(Iv)
+        _finish(Iv, imu, imu, mean(Iv * Iv), mean(Iv * Iv), q_ref)
+
+    specs = [
+        pl.BlockSpec((band, wb), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hb, wb),
+                     lambda i: (jnp.minimum((i + 1) * (band // hb), nbh - 1),
+                                0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((band, wout_l), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((h, w), jnp.float32)
+    if self_guided:
+        return pl.pallas_call(
+            kernel_self, grid=(nb,), in_specs=specs, out_specs=out_spec,
+            out_shape=out_shape, interpret=interpret_mode(),
+        )(X, X)
+    return pl.pallas_call(
+        kernel, grid=(nb,), in_specs=specs + specs, out_specs=out_spec,
+        out_shape=out_shape, interpret=interpret_mode(),
+    )(X, X, P, P)
+
+
+def guided_pallas_ypadded(I, p, radius: int, eps: float,
+                          self_guided: bool = False):
+    """Fused guided filter on row-padded blocks (see _guided_onepass_ypadded).
+    Leading batch dims unroll like guided_filter_pallas."""
+    I = jnp.asarray(I, jnp.float32)
+    if I.ndim != 2:
+        if I.ndim == 3 and I.shape[0] <= 8:
+            return jnp.stack([
+                guided_pallas_ypadded(I[i], None if self_guided else p[i],
+                                      radius, eps, self_guided)
+                for i in range(I.shape[0])])
+        return jax.vmap(
+            lambda a, b: guided_pallas_ypadded(a, b, radius, eps, self_guided)
+        )(I, I if self_guided else p)
+    P = I if self_guided else jnp.asarray(p, jnp.float32)
+    from tpuimg.kernels.sep_stencil import column_strips
+
+    limit = _MAX_STRIP_SELF if self_guided else _MAX_STRIP + 4 * radius
+    if self_guided:
+        return column_strips(
+            lambda seg, lo, hi: _guided_onepass_ypadded(
+                seg, seg, radius, eps, True, lo, hi), I, 2 * radius, limit)
+    # non-self: slice I and P identically per strip (same geometry as
+    # column_strips)
+    w = I.shape[1]
+    if w <= limit:
+        return _guided_onepass_ypadded(I, P, radius, eps, False)
+    d = 2 * radius
+    step = limit - 2 * d - 128
+    outs = []
+    x0 = 0
+    while x0 < w:
+        x1 = min(w, x0 + step)
+        if w - x1 <= d:
+            x1 = w
+        lo = min(d, x0)
+        hi = d if x1 < w else 0
+        Iseg = jax.lax.slice_in_dim(I, x0 - lo, x1 + hi, axis=1)
+        Pseg = jax.lax.slice_in_dim(P, x0 - lo, x1 + hi, axis=1)
+        outs.append(_guided_onepass_ypadded(Iseg, Pseg, radius, eps, False,
+                                            lo, hi))
+        x0 = x1
+    return jnp.concatenate(outs, axis=1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("radius", "eps", "variant", "self_guided")
 )
@@ -295,9 +442,11 @@ def guided_filter_pallas(I, p, radius: int, eps: float,
     Ix = jnp.pad(I, ((0, 0), (2 * r, 2 * r)), mode=pad_mode(REFLECT101))
     px = Ix if self_guided else jnp.pad(
         p, ((0, 0), (2 * r, 2 * r)), mode=pad_mode(REFLECT101))
+    step = _MAX_STRIP_SELF if (self_guided and variant == "onepass") \
+        else _MAX_STRIP
     outs = []
-    for x0 in range(0, w, _MAX_STRIP):
-        x1 = min(x0 + _MAX_STRIP, w)
+    for x0 in range(0, w, step):
+        x1 = min(x0 + step, w)
         seg = slice(x0, x1 + 4 * r)  # in padded coords: [x0, x1 + 4r)
         Iseg = Ix[:, seg]
         pseg = Iseg if self_guided else px[:, seg]

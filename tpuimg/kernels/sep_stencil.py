@@ -105,6 +105,54 @@ def _extract_row(tv, j):
                    keepdims=True)
 
 
+def _assemble_rows(top_ref, cur_ref, bot_ref, i, d: int, hb: int, band: int,
+                   h: int, reflect: bool, h_aligned: bool, nb: int,
+                   cvt=None):
+    """Assemble a (band + 2d, W) tile from the three halo views with the
+    y border policy applied in-kernel.
+
+    Band 0's top halo and (when ``h_aligned``) the last band's bottom halo
+    are rebuilt from static in-tile row slices — (d, W) selects only. When
+    the band doesn't divide h, the bottom border rows sit mid-tile at a
+    dynamic row, fixed with masked full-tile selects (the masks are false
+    on unaffected bands). ``cvt`` optionally widens each block at load
+    (u8-native mode) so no select ever runs on u8 lanes.
+    """
+    cvt = cvt if cvt is not None else (lambda x: x)
+    if reflect and band <= d:
+        raise ValueError(
+            f"reflect border assembly needs band > halo depth ({band} <= {d})")
+    cur = cvt(cur_ref[:])
+    if reflect:
+        # rows d, d-1, ..., 1 (lax.rev is not lowerable in Mosaic)
+        top_fix = jnp.concatenate(
+            [cur[d - j : d - j + 1] for j in range(d)], axis=0)
+    else:
+        top_fix = jnp.broadcast_to(cur[0:1], (d, cur.shape[1]))
+    top = jnp.where(i == 0, top_fix, cvt(top_ref[hb - d :]))
+    if h_aligned:
+        if reflect:
+            # rows band-2, ..., band-1-d
+            bot_fix = jnp.concatenate(
+                [cur[band - 2 - m : band - 1 - m] for m in range(d)], axis=0)
+        else:
+            bot_fix = jnp.broadcast_to(cur[band - 1 : band],
+                                       (d, cur.shape[1]))
+        bot = jnp.where(i == nb - 1, bot_fix, cvt(bot_ref[:d]))
+    else:
+        bot = cvt(bot_ref[:d])
+    t = jnp.concatenate([top, cur, bot], axis=0)  # (band + 2d, W)
+    if not h_aligned:
+        jh = h - 1 + d - i * band  # tile row of image row h-1
+        rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        if reflect:
+            for m in range(1, d + 1):
+                t = jnp.where(rows == jh + m, _extract_row(t, jh - m), t)
+        else:
+            t = jnp.where(rows > jh, _extract_row(t, jh), t)
+    return t
+
+
 def _x_extend(tv, d: int, w_in: int, wout: int, reflect: bool,
               lo: int = 0, hi: int = 0):
     """Extend a tile to ``d`` halo columns per side, in-kernel.
@@ -114,27 +162,47 @@ def _x_extend(tv, d: int, w_in: int, wout: int, reflect: bool,
     remaining w_out = w_in - lo - hi are the strip's own columns. Missing
     halo (lo or hi == 0 ⇒ frame edge) is synthesized as reflect-101
     (reflectBorder, gaussian.h:101) or replicate (image_process.cu:188-191)
-    border columns. Result lanes j ↔ strip column j - d, padded with
-    don't-care lanes to wout + 2d (those only reach outputs ≥ w_out, which
-    the output crop drops). lo/hi must be 0 or d (strips ≥ d wide).
+    border columns. lo/hi must be 0 or d (strips ≥ d wide).
+
+    Returns ``(ext, off)`` with ext lane ``off + c`` ↔ strip output column
+    ``c``; lanes [off - d, off + wout + d) are a valid stencil extent (the
+    tail beyond w_out is don't-care and only feeds cropped outputs). The
+    main block is placed at a 128-aligned lane offset: concatenating it at
+    offset d would lane-rotate the WHOLE tile (a full-tile Mosaic relayout
+    per band — measured +12% on the guided one-pass kernel).
     """
-    w_out = w_in - lo - hi
+    rows = tv.shape[0]
+
+    def dontcare(n):  # constant don't-care lanes (cheaper than data slices)
+        return jnp.zeros((rows, n), tv.dtype)
+
     parts = []
-    if lo == 0:
+    if lo == 0 and d > 0:
+        # tv lands at a 128-aligned lane: no rotate, left border fits before
+        off = round_up(d, 128)
+        if off > d:
+            parts.append(dontcare(off - d))
         if reflect:
+            # d single-lane inserts: Mosaic cannot lower lax.rev (jnp.flip),
+            # so a one-op lane reversal is unavailable in compiled kernels
             parts += [tv[:, d - j : d - j + 1] for j in range(d)]
         else:
-            parts += [tv[:, 0:1]] * d
+            parts.append(jnp.broadcast_to(tv[:, 0:1], (rows, d)))
+    else:
+        off = lo  # real halo included in tv; tv lands at lane 0
     parts.append(tv[:, :w_in])
-    if hi == 0:
+    if hi == 0 and d > 0:
         e = w_in - 1  # last valid lane (frame edge column)
         if reflect:
             parts += [tv[:, e - 1 - m : e - m] for m in range(d)]
         else:
-            parts += [tv[:, e : e + 1]] * d
-    if wout > w_out:
-        parts.append(tv[:, : wout - w_out])
-    return jnp.concatenate(parts, axis=1)
+            parts.append(jnp.broadcast_to(tv[:, e : e + 1], (rows, d)))
+    # pad to a 128-lane multiple so downstream values stay layout-friendly
+    have = (off - lo) + w_in + (d - hi)
+    target = round_up(off + wout + d, 128)
+    if target > have:
+        parts.append(dontcare(target - have))
+    return jnp.concatenate(parts, axis=1), off
 
 
 def _make_kernel(radius: int, band: int, w_in: int, wout: int, h: int,
@@ -143,19 +211,21 @@ def _make_kernel(radius: int, band: int, w_in: int, wout: int, h: int,
     r = radius
     nb = cdiv(h, band)
 
-    def x_reduce(t):
+    def x_reduce(t, off):
         if weights is not None:
-            acc = jnp.float32(weights[r]) * t[:, r : r + wout]
+            acc = jnp.float32(weights[r]) * t[:, off : off + wout]
             for k in range(1, r + 1):
                 acc = acc + jnp.float32(weights[r - k]) * (
-                    t[:, r - k : r - k + wout] + t[:, r + k : r + k + wout]
+                    t[:, off - k : off - k + wout]
+                    + t[:, off + k : off + k + wout]
                 )
             return acc
         # min/max: log-depth doubling windows (kernels/window.py) — the van
         # Herk/Gil-Werman role (Morphology/image_process.cu:31-170) at
         # O(log ksz) VPU ops, any radius
         fn = jnp.minimum if is_min else jnp.maximum
-        return window_extreme(t, 2 * r + 1, wout, axis=1, fn=fn)
+        return window_extreme(t, 2 * r + 1, wout, axis=1, fn=fn,
+                              start=off - r)
 
     def y_reduce(t):
         if weights is not None:
@@ -168,54 +238,15 @@ def _make_kernel(radius: int, band: int, w_in: int, wout: int, h: int,
         fn = jnp.minimum if is_min else jnp.maximum
         return window_extreme(t, 2 * r + 1, band, axis=0, fn=fn)
 
+    cvt = (None if compute_dtype is None
+           else (lambda x: x.astype(jnp.int32).astype(compute_dtype)))
+
     def kernel(top_ref, cur_ref, bot_ref, o_ref):
         i = pl.program_id(0)
-
-        def cvt(x):
-            # u8-native mode: blocks stream as uint8 (halving HBM traffic vs
-            # widening outside the kernel); every value is cast at load so
-            # no select/min/max ever runs on u8 lanes (Mosaic rejects those)
-            if compute_dtype is not None:
-                return x.astype(jnp.int32).astype(compute_dtype)
-            return x
-
-        cur = cvt(cur_ref[:])
-        # --- y borders, band 0: rows gy ∈ [-r, 0) reflect to gy' = -gy,
-        # which live at cur rows r-j — static slices, (r, W) select only ---
-        if reflect:
-            top_fix = jnp.concatenate(
-                [cur[r - j : r - j + 1] for j in range(r)], axis=0)
-        else:
-            top_fix = jnp.broadcast_to(cur[0:1], (r, cur.shape[1]))
-        top = jnp.where(i == 0, top_fix, cvt(top_ref[hb - r :]))
-        # --- y borders, last band (h_aligned): rows gy ∈ [h, h+r) reflect
-        # to cur rows band-2-m / replicate cur row band-1 — static again ---
-        if h_aligned:
-            if reflect:
-                bot_fix = jnp.concatenate(
-                    [cur[band - 2 - m : band - 1 - m] for m in range(r)],
-                    axis=0)
-            else:
-                bot_fix = jnp.broadcast_to(cur[band - 1 : band],
-                                           (r, cur.shape[1]))
-            bot = jnp.where(i == nb - 1, bot_fix, cvt(bot_ref[:r]))
-        else:
-            bot = cvt(bot_ref[:r])
-        t = jnp.concatenate([top, cur, bot], axis=0)  # (band+2r, W)
-        if not h_aligned:
-            # bottom rows sit mid-tile when band doesn't divide h: masked
-            # full-tile fix at the dynamic tile row jh of image row h-1
-            jh = h - 1 + r - i * band
-            rows = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-            if reflect:
-                for m in range(1, r + 1):
-                    src = _extract_row(t, jh - m)
-                    t = jnp.where(rows == jh + m, src, t)
-            else:
-                src = _extract_row(t, jh)
-                t = jnp.where(rows > jh, src, t)
-        ext = _x_extend(t, r, w_in, wout, reflect, lo, hi)
-        res = y_reduce(x_reduce(ext))
+        t = _assemble_rows(top_ref, cur_ref, bot_ref, i, r, hb, band, h,
+                           reflect, h_aligned, nb, cvt)
+        ext, off = _x_extend(t, r, w_in, wout, reflect, lo, hi)
+        res = y_reduce(x_reduce(ext, off))
         if compute_dtype is not None:
             res = res.astype(jnp.int32).astype(o_ref.dtype)
         o_ref[:] = res
@@ -265,14 +296,23 @@ def _sep_stencil(img, radius: int, weights, is_min: bool, border: str,
     wb = round_up(w_in, 128)  # input lane block; lanes ≥ w_in are don't-care
     hu = _halo_unit(img.dtype)
     hb = round_up(max(r, 1), hu)
-    band = round_up(max(_pick_band(h, wb, img.dtype), hb), hb)
+    # reflect row fixes read cur[r - j] / cur[band - 2 - m]: band > r needed
+    band_min = round_up(r + 2, hb) if reflect else hb
+    band = round_up(max(_pick_band(h, wb, img.dtype), band_min), hb)
     if weights is not None:
-        band = min(band, max(hb, (_WEIGHTS_BAND_CAP // hb) * hb))
-    band = min(band, round_up(h, hb))
+        band = min(band, max(band_min, (_WEIGHTS_BAND_CAP // hb) * hb))
+    band = min(band, max(band_min, round_up(h, hb)))
     ab = _aligned_band(h, band, hb)
-    if ab and h % band != 0:
+    if ab and h % band != 0 and ab >= band_min:
         band = ab
     h_aligned = h % band == 0
+    if not h_aligned and reflect and r > 16:
+        # the masked dynamic reflect fix costs r full-tile extract passes;
+        # past ~16 Mosaic compile time explodes (see boxsum). Rare shapes
+        # pay one row-pad copy and run the fix-free ypadded kernel.
+        pad = jnp.pad(img, ((r, r), (0, 0)), mode=pad_mode(border))
+        return _sep_stencil_ypadded(pad, r, weights, is_min, border,
+                                    compute_dtype, lo, hi)
 
     kernel = _make_kernel(r, band, w_in, wout, h, weights, is_min, hb,
                           reflect, h_aligned, lo, hi, compute_dtype)
@@ -288,51 +328,64 @@ def _sep_stencil(img, radius: int, weights, is_min: bool, border: str,
     return out
 
 
-def _sep_stencil_strips(img, radius: int, weights, is_min: bool, border: str,
-                        compute_dtype=None):
-    """Column-strip driver: frames wider than _MAX_LANES are processed in
-    strips whose slices carry ``radius`` REAL halo columns from the
-    neighboring strip (one slice copy per strip — still ~2.4x faster than
-    the XLA strip path at 8K)."""
-    h, w = img.shape
-    r = radius
-    if w <= _MAX_LANES:
-        return _sep_stencil(img, radius, weights, is_min, border,
-                            compute_dtype=compute_dtype)
-    step = _MAX_LANES - 256  # room for halos while staying under the cap
+def column_strips(fn, img, d: int, max_lanes: int):
+    """Apply ``fn(seg, lo, hi)`` over column strips of ``img``.
+
+    Frames at most ``max_lanes`` wide go through whole; wider frames are
+    split into strips whose slices carry ``d`` REAL halo columns from the
+    neighboring strip (lo/hi = halo actually present; 0 at frame edges
+    where the border policy applies). A tail thinner than the halo is
+    absorbed into the previous strip."""
+    w = img.shape[-1]
+    if w <= max_lanes:
+        return fn(img, 0, 0)
+    step = max_lanes - 2 * d - 128  # halo + tail-absorb headroom
     outs = []
     x0 = 0
     while x0 < w:
         x1 = min(w, x0 + step)
-        if w - x1 <= r:  # a tail thinner than the halo can't reflect from
-            x1 = w       # a neighbor strip — absorb it into this strip
-        lo = min(r, x0)
-        hi = r if x1 < w else 0
-        seg = jax.lax.slice_in_dim(img, x0 - lo, x1 + hi, axis=1)
-        outs.append(_sep_stencil(seg, radius, weights, is_min, border,
-                                 lo=lo, hi=hi, compute_dtype=compute_dtype))
+        if w - x1 <= d:
+            x1 = w
+        lo = min(d, x0)
+        hi = d if x1 < w else 0
+        seg = jax.lax.slice_in_dim(img, x0 - lo, x1 + hi, axis=-1)
+        outs.append(fn(seg, lo, hi))
         x0 = x1
-    return jnp.concatenate(outs, axis=1)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _sep_stencil_strips(img, radius: int, weights, is_min: bool, border: str,
+                        compute_dtype=None):
+    """Column-strip driver: frames wider than _MAX_LANES are processed in
+    strips with real halo columns (one slice copy per strip — still ~1.4x
+    faster than the XLA strip path at 8K)."""
+    return column_strips(
+        lambda seg, lo, hi: _sep_stencil(seg, radius, weights, is_min,
+                                         border, lo=lo, hi=hi,
+                                         compute_dtype=compute_dtype),
+        img, radius, _MAX_LANES)
 
 
 def _sep_stencil_ypadded(x, radius: int, weights, is_min: bool, border: str,
-                         compute_dtype=None):
+                         compute_dtype=None, lo: int = 0, hi: int = 0):
     """Fused engine on a block whose row axis is ALREADY padded by ``radius``
     rows per side (halo rows from a neighbor shard, or border rows applied
     by the sharding layer). x borders are still built in-kernel. Entry point
     for parallel.stencil_sharded — each shard runs the fused Pallas chain
     (the reference analog each shard should execute: gGaussOptim /
     gMorphSplit) instead of the XLA fallback."""
-    hin, w = x.shape
+    hin, w_in = x.shape
     r = radius
     h = hin - 2 * r  # output rows
+    w = w_in - lo - hi
     reflect = pad_mode(border) == "reflect"
     if h < 1:
         raise ValueError(f"ypadded block must have > 2*radius rows; got {hin}")
     wout = round_up(w, 128)
+    wb = round_up(w_in, 128)
     hu = _halo_unit(x.dtype)
     hb = round_up(max(2 * r, 1), hu)
-    band = round_up(max(_pick_band(h, wout, x.dtype), hb), hb)
+    band = round_up(max(_pick_band(h, wb, x.dtype), hb), hb)
     if weights is not None:
         band = min(band, max(hb, (_WEIGHTS_BAND_CAP // hb) * hb))
     band = min(band, round_up(h, hb))
@@ -342,13 +395,13 @@ def _sep_stencil_ypadded(x, radius: int, weights, is_min: bool, border: str,
         t = jnp.concatenate([cur_ref[:], bot_ref[: 2 * r]], axis=0)
         if compute_dtype is not None:
             t = t.astype(jnp.int32).astype(compute_dtype)
-        ext = _x_extend(t, r, w, wout, reflect)
+        ext, off = _x_extend(t, r, w_in, wout, reflect, lo, hi)
         if weights is not None:
-            acc = jnp.float32(weights[r]) * ext[:, r : r + wout]
+            acc = jnp.float32(weights[r]) * ext[:, off : off + wout]
             for k in range(1, r + 1):
                 acc = acc + jnp.float32(weights[r - k]) * (
-                    ext[:, r - k : r - k + wout]
-                    + ext[:, r + k : r + k + wout])
+                    ext[:, off - k : off - k + wout]
+                    + ext[:, off + k : off + k + wout])
             rowf = acc
             accy = jnp.float32(weights[r]) * rowf[r : r + band]
             for k in range(1, r + 1):
@@ -357,7 +410,8 @@ def _sep_stencil_ypadded(x, radius: int, weights, is_min: bool, border: str,
             o_ref[:] = accy
         else:
             fn = jnp.minimum if is_min else jnp.maximum
-            rowf = window_extreme(ext, 2 * r + 1, wout, axis=1, fn=fn)
+            rowf = window_extreme(ext, 2 * r + 1, wout, axis=1, fn=fn,
+                                  start=off - r)
             res = window_extreme(rowf, 2 * r + 1, band, axis=0, fn=fn)
             if compute_dtype is not None:
                 res = res.astype(jnp.int32).astype(o_ref.dtype)
@@ -367,9 +421,9 @@ def _sep_stencil_ypadded(x, radius: int, weights, is_min: bool, border: str,
         kernel,
         grid=(cdiv(h, band),),
         in_specs=[
-            pl.BlockSpec((band, wout), lambda i: (i, 0),
+            pl.BlockSpec((band, wb), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hb, wout),
+            pl.BlockSpec((hb, wb),
                          lambda i: (jnp.minimum((i + 1) * (band // hb),
                                                 nbh - 1), 0),
                          memory_space=pltpu.VMEM),
@@ -399,32 +453,17 @@ def _open_close_kernel(r: int, band: int, w: int, wout: int, h: int,
     fn2 = jnp.maximum if first_min else jnp.minimum
     nb = cdiv(h, band)
 
+    cvt = (None if compute_dtype is None
+           else (lambda x: x.astype(jnp.int32).astype(compute_dtype)))
+
     def kernel(top_ref, cur_ref, bot_ref, o_ref):
         i = pl.program_id(0)
-
-        def cvt(x):
-            if compute_dtype is not None:
-                return x.astype(jnp.int32).astype(compute_dtype)
-            return x
-
-        cur = cvt(cur_ref[:])
-        # y replicate fixes (depth 2r): band 0's top halo ← row 0; last
-        # band's bottom halo ← row h-1 (static when band divides h)
-        top_fix = jnp.broadcast_to(cur[0:1], (2 * r, cur.shape[1]))
-        top = jnp.where(i == 0, top_fix, cvt(top_ref[hb - 2 * r :]))
-        if h_aligned:
-            bot_fix = jnp.broadcast_to(cur[band - 1 : band],
-                                       (2 * r, cur.shape[1]))
-            bot = jnp.where(i == nb - 1, bot_fix, cvt(bot_ref[: 2 * r]))
-        else:
-            bot = cvt(bot_ref[: 2 * r])
-        t = jnp.concatenate([top, cur, bot], axis=0)  # (band+4r, W)
-        if not h_aligned:
-            jh = h - 1 + 2 * r - i * band
-            rows4 = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-            t = jnp.where(rows4 > jh, _extract_row(t, jh), t)
-        ext = _x_extend(t, 2 * r, w, wout, False)  # width wout + 4r
-        s1 = window_extreme(ext, ksz, wout + 2 * r, axis=1, fn=fn1)
+        t = _assemble_rows(top_ref, cur_ref, bot_ref, i, 2 * r, hb, band, h,
+                           False, h_aligned, nb, cvt)  # (band+4r, W)
+        ext, off = _x_extend(t, 2 * r, w, wout, False)
+        # s1 lane l ↔ stage-1 column x = l - r
+        s1 = window_extreme(ext, ksz, wout + 2 * r, axis=1, fn=fn1,
+                            start=off - 2 * r)
         s1 = window_extreme(s1, ksz, band + 2 * r, axis=0, fn=fn1)
         # s1 lane l <-> stage-1 column x = l - r; clamp x to [0, w)
         left = jnp.broadcast_to(s1[:, r : r + 1], (band + 2 * r, r))
@@ -521,8 +560,11 @@ def gaussian_pallas_ypadded(x, radius: int, sigma: float):
     """Fused Gaussian on a row-padded block (see _sep_stencil_ypadded)."""
     w = [float(v) for v in np.asarray(gaussian_kernel_1d(2 * radius + 1, sigma))]
     return _over_batch(
-        lambda v: _sep_stencil_ypadded(jnp.asarray(v, jnp.float32), radius,
-                                       w, False, REFLECT101),
+        lambda v: column_strips(
+            lambda seg, lo, hi: _sep_stencil_ypadded(
+                jnp.asarray(seg, jnp.float32), radius, w, False, REFLECT101,
+                lo=lo, hi=hi),
+            v, radius, _MAX_LANES),
         jnp.asarray(x))
 
 
@@ -558,13 +600,17 @@ def morphology_pallas(img, radius: int, mode: int):
 def morph_pallas_ypadded(x, radius: int, mode: int):
     """Fused erode/dilate on a row-padded block (see _sep_stencil_ypadded)."""
     x = jnp.asarray(x)
+
+    def strips(v):
+        return column_strips(
+            lambda seg, lo, hi: _sep_stencil_ypadded(
+                seg, radius, None, mode == 0, REPLICATE, lo=lo, hi=hi),
+            v, radius, _MAX_LANES)
+
     if x.dtype == jnp.uint8:
         return _over_batch(
-            lambda v: _sep_stencil_ypadded(
-                v.astype(jnp.int32).astype(_U8_WIDEN), radius, None,
-                mode == 0, REPLICATE
+            lambda v: strips(
+                v.astype(jnp.int32).astype(_U8_WIDEN)
             ).astype(jnp.int32).astype(jnp.uint8),
             x)
-    return _over_batch(
-        lambda v: _sep_stencil_ypadded(v, radius, None, mode == 0, REPLICATE),
-        x)
+    return _over_batch(strips, x)

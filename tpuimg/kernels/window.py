@@ -36,13 +36,13 @@ def _slide(x, start: int, length: int, axis: int):
     return x[:, start : start + length]
 
 
-def window_extreme(x, ksz: int, out_len: int, axis: int, fn):
-    """fn-extreme over each length-``ksz`` window along ``axis``.
+def window_extreme(x, ksz: int, out_len: int, axis: int, fn, start: int = 0):
+    """fn-extreme over windows [start+i, start+i+ksz) along ``axis``.
 
-    ``x`` must extend at least ``out_len + ksz - 1`` along ``axis``.
+    ``x`` must extend at least ``start + out_len + ksz - 1`` along ``axis``.
     """
     if ksz == 1:
-        return _slide(x, 0, out_len, axis)
+        return _slide(x, start, out_len, axis)
     p = 1
     cur = x
     n = x.shape[axis]
@@ -51,16 +51,17 @@ def window_extreme(x, ksz: int, out_len: int, axis: int, fn):
         n -= p
         p *= 2
     # cur[i] = extreme over [i, i+p); overlap of the two q-spans is fine
-    return fn(_slide(cur, 0, out_len, axis), _slide(cur, ksz - p, out_len, axis))
+    return fn(_slide(cur, start, out_len, axis),
+              _slide(cur, start + ksz - p, out_len, axis))
 
 
-def window_sum(x, ksz: int, out_len: int, axis: int):
-    """Sum over each length-``ksz`` window along ``axis``.
+def window_sum(x, ksz: int, out_len: int, axis: int, start: int = 0):
+    """Sum over windows [start+i, start+i+ksz) along ``axis``.
 
-    ``x`` must extend at least ``out_len + ksz - 1`` along ``axis``.
+    ``x`` must extend at least ``start + out_len + ksz - 1`` along ``axis``.
     """
     if ksz == 1:
-        return _slide(x, 0, out_len, axis)
+        return _slide(x, start, out_len, axis)
     ladder = {1: x}
     lens = {1: x.shape[axis]}
     p = 1
@@ -70,7 +71,7 @@ def window_sum(x, ksz: int, out_len: int, axis: int):
         lens[2 * p] = n - p
         p *= 2
     acc = None
-    off = 0
+    off = start
     rem = ksz
     for q in sorted(ladder, reverse=True):
         if rem >= q:  # each power of two appears at most once in binary k

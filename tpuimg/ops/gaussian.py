@@ -44,10 +44,18 @@ def _sep_pass(img, weights, axis: int):
     return acc
 
 
-def gaussian_ypadded(p, radius: int, sigma: float):
+def gaussian_ypadded(p, radius: int, sigma: float, impl: str = "auto"):
     """Gaussian blur of a block already padded by ``radius`` rows on the row
-    axis (halo rows from a neighbor shard or border policy); x is padded
-    locally. Used by parallel.stencil_sharded."""
+    axis (halo rows from a neighbor shard or border policy); x is handled
+    locally. Used by parallel.stencil_sharded.
+
+    impl="auto"/"pallas": each shard runs the fused band kernel (round 3 —
+    compiled on TPU, interpret-mode on the CPU dryrun mesh); impl="xla"
+    keeps the shift-add chain."""
+    if impl in ("auto", "pallas"):
+        from tpuimg.kernels.sep_stencil import gaussian_pallas_ypadded
+
+        return gaussian_pallas_ypadded(p, radius, sigma)
     w = [float(v) for v in np.asarray(gaussian_kernel_1d(2 * radius + 1, sigma))]
     pad = [(0, 0)] * (p.ndim - 1) + [(radius, radius)]
     p = jnp.pad(p, pad, mode=pad_mode(REFLECT101))

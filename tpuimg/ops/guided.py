@@ -107,7 +107,7 @@ def _axis_counts(n: int, radius: int):
     return hi - lo
 
 
-def guided_ypadded(Ipad, ppad, radius: int, eps: float):
+def guided_ypadded(Ipad, ppad, radius: int, eps: float, impl: str = "auto"):
     """Fused-path guided filter on blocks already padded by ``2*radius`` rows
     on the row axis (halo rows from neighbor shards or the border policy);
     x is padded locally with reflect-101. Returns the unpadded rows.
@@ -116,7 +116,16 @@ def guided_ypadded(Ipad, ppad, radius: int, eps: float):
     reference's fused chain (gCalcAB + gWeightByABm,
     GuidedFilter/guided_filter_d.cu:421-858): pass 1 consumes ``radius`` halo
     rows, pass 2 consumes ``radius`` more.
+
+    impl="auto"/"pallas": each shard runs the fused one-pass Pallas kernel
+    (round 3 — compiled on TPU, interpret-mode on the CPU dryrun mesh);
+    impl="xla" keeps the cumsum-free shift-add chain.
     """
+    if impl in ("auto", "pallas"):
+        from tpuimg.kernels.boxsum import guided_pallas_ypadded
+
+        return guided_pallas_ypadded(Ipad, ppad, radius, eps,
+                                     self_guided=ppad is Ipad)
     r = radius
     ksz = 2 * r + 1
     coef = jnp.float32(1.0 / (ksz * ksz))

@@ -109,9 +109,17 @@ def _morph(img, radius: int, mode: int, impl: str = "auto"):
     return axis_fn(x, radius, x.ndim - 2, fn)
 
 
-def morph_ypadded(p, radius: int, mode: int):
+def morph_ypadded(p, radius: int, mode: int, impl: str = "auto"):
     """Erode/dilate a block already padded by ``radius`` rows on the row axis
-    (halo rows); x is padded locally. Used by parallel.stencil_sharded."""
+    (halo rows); x is handled locally. Used by parallel.stencil_sharded.
+
+    impl="auto"/"pallas": each shard runs the fused band kernel (round 3 —
+    compiled on TPU, interpret-mode on the CPU dryrun mesh); impl="xla"
+    keeps the shift-reduce / van Herk chain."""
+    if impl in ("auto", "pallas"):
+        from tpuimg.kernels.sep_stencil import morph_pallas_ypadded
+
+        return morph_pallas_ypadded(p, radius, mode)
     fn = jnp.minimum if mode == 0 else jnp.maximum
     cumfn = jax.lax.cummin if mode == 0 else jax.lax.cummax
     pad = [(0, 0)] * (p.ndim - 1) + [(radius, radius)]

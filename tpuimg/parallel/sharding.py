@@ -127,6 +127,10 @@ def stencil_sharded(op, radius: int, border: str, mesh: Mesh):
             mesh=mesh,
             in_specs=(spec,),
             out_specs=spec,
+            # the fused Pallas kernels run inside the body (round 3); their
+            # pallas_call out_shapes carry no vma info, so the static
+            # varying-across-mesh check must be off
+            check_vma=False,
         )
         def inner(block):
             padded = _halo_exchange(block, radius, n_sp, "sp", border)
@@ -220,7 +224,8 @@ def guided_filter_sharded(mesh: Mesh, radius: int, eps: float,
         if self_guided or p is I:
 
             @functools.partial(
-                jax.shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec
+                jax.shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                check_vma=False,  # pallas body (see stencil_sharded)
             )
             def inner_self(Ib):
                 Ip = _halo_exchange(Ib, 2 * radius, n_sp, "sp", "reflect101")
@@ -229,7 +234,8 @@ def guided_filter_sharded(mesh: Mesh, radius: int, eps: float,
             return inner_self(I)
 
         @functools.partial(
-            jax.shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=spec
+            jax.shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+            check_vma=False,  # pallas body (see stencil_sharded)
         )
         def inner(Ib, pb):
             Ip = _halo_exchange(Ib, 2 * radius, n_sp, "sp", "reflect101")
