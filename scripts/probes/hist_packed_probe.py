@@ -58,7 +58,7 @@ def _body_B(x_ref, o_ref):
     n = rows * w
     hi = (x >> 4).reshape(1, n).astype(jnp.bfloat16)
     lo = (x & 15).reshape(1, n).astype(jnp.bfloat16)
-    bins = jax.lax.broadcasted_iota(jnp.bfloat16, (16, 1), 0)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0).astype(jnp.bfloat16)
     ohh = (jnp.broadcast_to(hi, (16, n)) == bins).astype(jnp.bfloat16)
     ohl = (jnp.broadcast_to(lo, (16, n)) == bins).astype(jnp.bfloat16)
     part = jax.lax.dot_general(ohh, ohl, (((1,), (1,)), ((), ())),
@@ -139,8 +139,11 @@ def main():
     img = rng.integers(0, 256, (2160, 3840), dtype=np.uint8)
     ref = np.bincount(img.ravel(), minlength=256)
     x = jnp.asarray(img)
-    for name, body in [("A_i32", _body_A), ("B_bf16", _body_B),
-                       ("C_i16", _body_C), ("D_packed", _body_D)]:
+    import os
+    only = os.environ.get("ONLY")
+    allv = [("A_i32", _body_A), ("B_bf16", _body_B),
+            ("C_i16", _body_C), ("D_packed", _body_D)]
+    for name, body in [v for v in allv if not only or v[0].startswith(only)]:
         try:
             fn = make(body)
             got = np.asarray(fn(x))
