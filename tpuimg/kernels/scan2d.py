@@ -29,13 +29,28 @@ BOTH scan directions run as triangular matmuls on the MXU, none on the VPU:
   radix, with zero extra HBM traffic.
 
 HBM traffic = one u8 read + one i32 write.  Measured (honest streaming
-protocol, v5e 4K): 0.18 ms = 45 GPix/s = 3.3x the reference's CUDA pipeline
-(0.597 ms, Integral/readme.md:23), up from 0.255 ms for the round-2 form
-whose column pass was masked VPU roll-adds.  Band 48 measured fastest
-(48: 0.180, 64: 0.196, 128: 0.211, 256: 0.247 ms).
+protocol, v5e 4K): 0.148-0.160 ms = 52-56 GPix/s = ~4x the reference's CUDA
+pipeline (0.597 ms, Integral/readme.md:23); round-2 shape was 0.182 ms, the
+round-3 gains are the fused [256L|L] column matmul and the repeat-broadcast
+(probes integral_r3e/r3h).  Band 48 measured fastest (repeat-broadcast form:
+32: 0.172, 48: 0.148-0.160, 64: 0.165, 96: 0.174 ms; run-to-run ±5%).
 
-Measured dead ends (scripts/probes/integral_mxu_col_probe.py) — don't
-re-try without new evidence:
+Measured dead ends (scripts/probes/integral_mxu_col_probe.py and
+integral_r3*_probe.py) — don't re-try without new evidence:
+- jnp.cumsum does NOT lower in Pallas TPU ("Unimplemented primitive ...
+  cumsum"), so VPU cumsums can't replace the tiny carry matmuls directly;
+- concat-based log-depth shift-add scans on the (band, ntiles) carry array
+  fail to compile inside the full kernel ("result/input offset mismatch on
+  non-concat dimension" — the intile[:, :, 127] slice's offset layout),
+  though they compile fine in isolation (probe r3i);
+- pltpu.roll+mask log-depth scans compile but are 10x slower (1.46-1.64 ms
+  total: the roll relayouts on small odd-shaped arrays dominate);
+- reshaping the u8 block BEFORE the i32/f32 converts (1 byte/px relayout):
+  0.165 vs 0.158 ms — the u8 sublane-packing relayout is worse;
+- folding the carry broadcast into the big column matmul (base-256 digit
+  rows appended to [hi; lo]): 0.71 ms AND inexact — the d2-weighted f32
+  partial sums exceed the 2^24 integer-exact range;
+- MXU width-expansion of the carry scan (probe r3d V5): no change;
 - column-scan-FIRST (u8 needs no split) then 2-part row scan: 0.31 ms —
   the extra relayouts outweigh the saved split;
 - tile-major (H·nt, 128) input BlockSpec to skip the in-kernel reshape:
@@ -102,14 +117,19 @@ def _fused_scan_kernel(x_ref, o_ref, carry):
         totals, _tri(nt, strict=True, dtype=jnp.float32), _ARGS,
         precision=_HI, preferred_element_type=jnp.float32,
     )
-    # column pass: two bf16-exact halves through DEFAULT triangular matmuls
+    # column pass: two bf16-exact halves through ONE DEFAULT triangular
+    # matmul — the x256 recombine is folded into the weight matrix
+    # [256·L | L] @ [hi; lo], so the separate shi·256+slo FMA (and a second
+    # matmul launch) disappears (round 3, probe r3e: part of the
+    # 0.182→0.148 ms win). Partial sums < 2^22 stay f32-exact.
     f = intile.reshape(rows, wp)
     hi = jnp.floor(f * (1.0 / 256.0))   # < 2^7
     lo = f - hi * 256.0                 # < 2^8
     L = _tri(rows, strict=False, dtype=jnp.float32)
-    shi = jax.lax.dot_general(L, hi, _ARGS, preferred_element_type=jnp.float32)
-    slo = jax.lax.dot_general(L, lo, _ARGS, preferred_element_type=jnp.float32)
-    s2d = shi * 256.0 + slo             # < 2^22, f32-exact
+    W2 = jnp.concatenate([L * 256.0, L], axis=1)
+    hl = jnp.concatenate([hi, lo], axis=0)
+    s2d = jax.lax.dot_general(W2, hl, _ARGS,
+                              preferred_element_type=jnp.float32)
     # column scan of the tiny carry, split 12 low bits / the rest. BOTH
     # matmuls run HIGHEST precision: tc < W·255 (2^21 at 8K), so the high
     # part reaches 2^9 — beyond the bf16-exact 2^8 a DEFAULT matmul
@@ -129,8 +149,11 @@ def _fused_scan_kernel(x_ref, o_ref, carry):
     stl = jax.lax.dot_general(L, tl, _ARGS, precision=_HI,
                               preferred_element_type=jnp.float32)
     tc2d = (sth.astype(jnp.int32) << 12) + stl.astype(jnp.int32)
-    s = (s2d.reshape(rows, nt, 128).astype(jnp.int32) + tc2d[:, :, None])
-    s = s.reshape(rows, wp) + carry[:]
+    # broadcast carries to lanes via jnp.repeat — the 3D reshape-add form
+    # ((rows,nt,128) + tc2d[:,:,None]) forced a Mosaic relayout worth
+    # ~30 us/frame at 4K (round 3, probe r3e V1-vs-V7)
+    tcw = jnp.repeat(tc2d, 128, axis=1)
+    s = s2d.astype(jnp.int32) + tcw + carry[:]
     o_ref[:] = s
     carry[:] = s[rows - 1:, :]
 
