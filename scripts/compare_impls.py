@@ -2,6 +2,9 @@
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import tpuimg
 from tpuimg.core.timing import time_stream_fn
 
@@ -12,9 +15,11 @@ PIX = 2160 * 3840
 cases = [
     ("integral xla", lambda x: tpuimg.integral(x, impl="xla"), img_u8),
     ("integral pallas", lambda x: tpuimg.integral(x, impl="pallas"), img_u8),
-    ("gauss r1 xla", lambda x: tpuimg.gaussian(x, 1, 1.0), img_f),
+    # explicit impl on BOTH rows: the auto default dispatches to the round-3
+    # winner, so a bare call would mislabel the ladder
+    ("gauss r1 xla", lambda x: tpuimg.gaussian(x, 1, 1.0, impl="xla"), img_f),
     ("gauss r1 pallas", lambda x: tpuimg.gaussian(x, 1, 1.0, impl="pallas"), img_f),
-    ("gauss r7 xla", lambda x: tpuimg.gaussian(x, 7, 3.0), img_f),
+    ("gauss r7 xla", lambda x: tpuimg.gaussian(x, 7, 3.0, impl="xla"), img_f),
     ("gauss r7 pallas", lambda x: tpuimg.gaussian(x, 7, 3.0, impl="pallas"), img_f),
     ("guided r8 xla", lambda x: tpuimg.guided_filter(x, x, 8, 1e-3, border="reflect101", impl="xla"), img_f),
     ("guided r8 pallas", lambda x: tpuimg.guided_filter(x, x, 8, 1e-3, border="reflect101", impl="pallas"), img_f),

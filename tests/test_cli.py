@@ -30,6 +30,23 @@ def test_cli_autotest(tmp_path, monkeypatch, capsys):
     assert os.path.exists(tmp_path / "res.log")
 
 
+def test_cli_he_autotest(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    assert main(["he-autotest", "--runs", "2", "--max-size", "200"]) == 0
+    log = (tmp_path / "res.log").read_text()
+    assert log.count("tpuimg-he") == 2 and "oracle: 0" in log
+
+
+def test_cli_morph_autotest(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    assert main(["morph-autotest", "--runs", "3", "--max-size", "200",
+                 "--max-radius", "9"]) == 0
+    log = (tmp_path / "res.log").read_text()
+    assert len(log.strip().splitlines()) == 3
+    assert "erode r" in log or "dilate r" in log
+    assert all(l.endswith(": 0") for l in log.strip().splitlines())
+
+
 def test_cli_he(gray_png, capsys):
     assert main(["he", gray_png, "--nreps", "2"]) == 0
     assert os.path.exists(gray_png.replace(".png", "_tpuhe.png"))

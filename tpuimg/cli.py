@@ -109,26 +109,64 @@ def cmd_integral(args):
     return ok
 
 
-def cmd_integral_autotest(args):
-    """Randomized-shape property test (reference autoTestDemo,
-    Integral/main.cpp:154-237), appending to res.log."""
-    import tpuimg
-    from tpuimg.oracle import integral_ref
-
+def _autotest(args, run_one, tag):
+    """Randomized-shape property loop (reference autoTestDemo,
+    Integral/main.cpp:154-237), appending one line per run to res.log.
+    `run_one(rng, h, w) -> (desc, diff)`; exact (diff == 0) is required."""
     rng = np.random.default_rng(args.seed)
     failures = 0
     with open("res.log", "a") as log:
         for i in range(args.runs):
             h = int(rng.integers(64, args.max_size))
             w = int(rng.integers(64, args.max_size))
-            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
-            diff = _maxdiff(tpuimg.integral(img, impl=args.impl), integral_ref(img))
-            line = f"Size: {w} x {h}, Max difference of tpuimg and oracle: {diff:g}"
-            print(line)
+            desc, diff = run_one(rng, h, w)
+            line = (f"Size: {w} x {h}, Max difference of tpuimg{tag}{desc} "
+                    f"and oracle: {diff:g}")
+            print(line, flush=True)
             log.write(line + "\n")
+            log.flush()
             failures += diff != 0
     print(f"{args.runs - failures}/{args.runs} exact")
     return failures == 0
+
+
+def cmd_integral_autotest(args):
+    import tpuimg
+    from tpuimg.oracle import integral_ref
+
+    def run_one(rng, h, w):
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        return "", _maxdiff(tpuimg.integral(img, impl=args.impl),
+                            integral_ref(img))
+
+    return _autotest(args, run_one, "")
+
+
+def cmd_he_autotest(args):
+    import tpuimg
+    from tpuimg.oracle import hist_equalize_ref
+
+    def run_one(rng, h, w):
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        return "", _maxdiff(tpuimg.hist_equalize(img), hist_equalize_ref(img))
+
+    return _autotest(args, run_one, "-he")
+
+
+def cmd_morph_autotest(args):
+    import tpuimg
+    from tpuimg.oracle import dilate_ref, erode_ref
+
+    def run_one(rng, h, w):
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        r = int(rng.integers(1, args.max_radius + 1))
+        if rng.integers(2):
+            diff = _maxdiff(tpuimg.dilate(img, r), dilate_ref(img, r))
+            return f"-dilate r{r}", diff
+        diff = _maxdiff(tpuimg.erode(img, r), erode_ref(img, r))
+        return f"-erode r{r}", diff
+
+    return _autotest(args, run_one, "")
 
 
 def cmd_he(args):
@@ -434,6 +472,19 @@ def main(argv=None):
     a.add_argument("--impl", default="pallas", choices=["xla", "pallas"])
     a.set_defaults(fn=cmd_integral_autotest)
 
+    ah = sub.add_parser("he-autotest")
+    ah.add_argument("--runs", type=int, default=10)
+    ah.add_argument("--max-size", type=int, default=6000)
+    ah.add_argument("--seed", type=int, default=0)
+    ah.set_defaults(fn=cmd_he_autotest)
+
+    am = sub.add_parser("morph-autotest")
+    am.add_argument("--runs", type=int, default=10)
+    am.add_argument("--max-size", type=int, default=4000)
+    am.add_argument("--max-radius", type=int, default=31)
+    am.add_argument("--seed", type=int, default=0)
+    am.set_defaults(fn=cmd_morph_autotest)
+
     e = sub.add_parser("he")
     e.add_argument("image")
     e.add_argument("--nreps", type=int, default=20)
@@ -491,9 +542,16 @@ def main(argv=None):
     st.set_defaults(fn=cmd_stream)
 
     args = p.parse_args(argv)
-    if args.platform:
-        import jax
+    import jax
 
+    # persistent compile cache: autotest sweeps re-visit padded geometries
+    # across runs and sessions; recompiling a 6000-px-wide Mosaic kernel
+    # costs ~45 s, a cache hit is ~free
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
     _device_banner()
     from tpuimg.core.validate import TpuImgError

@@ -175,9 +175,10 @@ def guided_filter(I, p, radius: int, eps: float, border: str = SHRINK,
     variance (gCalcA math, guided_filter_d.cu:306-346).
 
     impl="auto" mirrors the reference's radius ladder (hGuidedFilter,
-    guided_filter_d.cu:1047-1093): the fused Pallas path for small radii
-    with reflect-101 border on TPU (measured faster through r≈6 on v5e),
-    the XLA chain otherwise. (Stacking the four mean inputs into one
+    guided_filter_d.cu:1047-1093): the fused Pallas path with reflect-101
+    border on TPU (measured 3-4x faster than the XLA chain at every covered
+    radius, r1-16, compare_impls.log — the reference's own fused ladder
+    stops at r7), the XLA chain otherwise. (Stacking the four mean inputs into one
     (4, H, W) box call was benchmarked 5x SLOWER on v5e — batched cumsums
     layout poorly; keep the four independent box filters.)
 

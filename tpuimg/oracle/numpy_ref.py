@@ -216,16 +216,25 @@ def guided_filter_ref(
 # ---------------------------------------------------------------------------
 
 
-def _morph_ref(img: np.ndarray, radius: int, fn) -> np.ndarray:
-    img = np.asarray(img)
-    h, w = img.shape
-    p = np.pad(img, radius, mode=pad_mode(REPLICATE))
-    ksz = 2 * radius + 1
-    out = p[0:h, 0:w].copy()
-    for dy in range(ksz):
-        for dx in range(ksz):
-            out = fn(out, p[dy : dy + h, dx : dx + w])
+def _morph_1d(img: np.ndarray, radius: int, fn, axis: int) -> np.ndarray:
+    n = img.shape[axis]
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (radius, radius)
+    p = np.pad(img, pad, mode=pad_mode(REPLICATE))
+    sl = lambda d: p[d : d + n, :] if axis == 0 else p[:, d : d + n]
+    out = sl(0).copy()
+    for d in range(1, 2 * radius + 1):
+        out = fn(out, sl(d))
     return out
+
+
+def _morph_ref(img: np.ndarray, radius: int, fn) -> np.ndarray:
+    # a rect SE is exactly separable for min/max (Morphology reference
+    # exploits the same identity, image_process.cu:173-299); replicate
+    # padding commutes with the per-axis extreme at the edges, so two
+    # 1D passes equal the (2r+1)^2 window — O(r) instead of O(r^2)
+    img = np.asarray(img)
+    return _morph_1d(_morph_1d(img, radius, fn, 1), radius, fn, 0)
 
 
 def erode_ref(img: np.ndarray, radius: int) -> np.ndarray:
