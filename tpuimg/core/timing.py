@@ -105,8 +105,13 @@ def time_stream_fn(fn, x, *, iters: int = 32, warmup_reps: int = 2,
 
     # frames and n are jit ARGUMENTS (a closed-over device array would be
     # embedded in the program as a constant — hundreds of MB per compile);
-    # one compiled program serves every loop length.
-    @jax.jit
+    # one compiled program serves every loop length. op_jit (not jax.jit):
+    # the harness's top-level jit must carry the raised scoped-vmem limit
+    # or ops that need it (enhance at 4K) fail to compile ONLY under the
+    # harness (core/jit.py, round 3).
+    from tpuimg.core.jit import op_jit
+
+    @op_jit()
     def run(frames_arg, n):
         def body(i, c):
             xi = jax.lax.dynamic_index_in_dim(

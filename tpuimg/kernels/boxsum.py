@@ -39,13 +39,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpuimg.core.borders import REFLECT101, pad_mode
+from tpuimg.core.jit import op_jit
 from tpuimg.core.layout import cdiv, round_up
 from tpuimg.kernels import interpret_mode
 from tpuimg.kernels.sep_stencil import (_aligned_band, _assemble_rows,
                                         _band_specs, _x_extend)
 from tpuimg.kernels.window import window_sum
 
-_MAX_STRIP = 2048  # output columns per strip (6-stream general kernel)
+# Output columns per strip of the 6-stream general kernel. NOTE (round 3):
+# at 4K XLA may park the kernel's (hp, wout_l) f32 operands/outputs in VMEM
+# and overflow the default 16M scoped-vmem stack (a hard compile error that
+# appeared only inside the enhance pipeline); shrinking the strips just
+# moved the overflow to a different parked set, so the real fix is the
+# raised xla_tpu_scoped_vmem_limit_kib on every op's jit boundary
+# (core/jit.py) — strip width stays at its measured-best value.
+_MAX_STRIP = 2048
 # The 3-stream self-guided kernel compiles at 4K-lane blocks (4096 measured
 # round 2); 3968 keeps w_in + halos + tail-absorb under that bound.
 _MAX_STRIP_SELF = 3968
@@ -406,9 +414,7 @@ def guided_pallas_ypadded(I, p, radius: int, eps: float,
     return jnp.concatenate(outs, axis=1)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("radius", "eps", "variant", "self_guided")
-)
+@op_jit(static_argnames=("radius", "eps", "variant", "self_guided"))
 def guided_filter_pallas(I, p, radius: int, eps: float,
                          variant: str = "onepass",
                          self_guided: bool = False):

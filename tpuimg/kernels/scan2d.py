@@ -81,6 +81,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpuimg.core.layout import pad_to_multiple
 from tpuimg.kernels import interpret_mode
+from tpuimg.core.jit import op_jit
 
 _COL_BAND = 48  # fused-scan band rows (sweep: fastest at 4K, see docstring)
 
@@ -158,7 +159,7 @@ def _fused_scan_kernel(x_ref, o_ref, carry):
     carry[:] = s[rows - 1:, :]
 
 
-@functools.partial(jax.jit, static_argnames=())
+@op_jit()
 def integral_pallas(img):
     """Inclusive 2D prefix sum of a (H, W) uint8 image, int32."""
     if img.ndim != 2:

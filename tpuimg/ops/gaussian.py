@@ -22,6 +22,7 @@ import numpy as np
 
 from tpuimg.core.borders import REFLECT101, pad_mode
 from tpuimg.core.kernelgen import gaussian_kernel_1d
+from tpuimg.core.jit import op_jit
 
 
 # frame size (bytes, f32) above which the XLA path processes column strips
@@ -63,7 +64,7 @@ def gaussian_ypadded(p, radius: int, sigma: float, impl: str = "auto"):
     return _sep_pass(rows, w, axis=p.ndim - 2)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "sigma", "impl"))
+@op_jit(static_argnames=("radius", "sigma", "impl"))
 def gaussian(img, radius: int, sigma: float, impl: str = "auto"):
     """Gaussian blur of a float32 image (..., H, W), reflect-101 border.
 

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from tpuimg.core.borders import REFLECT101, SHRINK, pad_mode
+from tpuimg.core.jit import op_jit
 
 
 # below this radius, direct shifted adds (which XLA fuses into one pass)
@@ -149,7 +150,7 @@ def guided_ypadded(Ipad, ppad, radius: int, eps: float, impl: str = "auto"):
     return box(a) * Ic + box(b)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "border"))
+@op_jit(static_argnames=("radius", "border"))
 def box_filter(x, radius: int, border: str = SHRINK):
     """Box mean over a (2r+1)² window of a float32 (..., H, W) image.
 
@@ -192,10 +193,7 @@ def guided_filter(I, p, radius: int, eps: float, border: str = SHRINK,
                                impl=impl, self_guided=p is I)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("radius", "eps", "border", "impl", "self_guided"),
-)
+@op_jit(static_argnames=("radius", "eps", "border", "impl", "self_guided"))
 def _guided_filter_impl(I, p, radius: int, eps: float, border: str,
                         impl: str, self_guided: bool):
     from tpuimg.core.validate import (

@@ -30,6 +30,7 @@ import numpy as np
 
 from tpuimg.core.layout import cdiv
 from tpuimg.kernels.onehot import hist256, hist256_tiled, lut_apply, lut_apply4
+from tpuimg.core.jit import op_jit
 
 
 def _on_tpu() -> bool:
@@ -85,7 +86,7 @@ def apply_lut(table, img):
     return lut_apply(table, img)
 
 
-@functools.partial(jax.jit, static_argnames=("impl",))
+@op_jit(static_argnames=("impl",))
 def hist_equalize(img, impl: str = "auto"):
     """Global HE of a uint8 image: table[v] = rint(min(255, cdf[v]*256/N))
     (gCalcHeTable, image_process.cu:115-123; factor hist_equalization.cpp:58).
@@ -212,9 +213,7 @@ def _tile_coord_runs(n: int, tiles: int, tsize: int, pad: int, use_recip: bool):
     ]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("clip_limit", "xtiles", "ytiles", "impl")
-)
+@op_jit(static_argnames=("clip_limit", "xtiles", "ytiles", "impl"))
 def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
           impl: str = "auto"):
     """CLAHE of a uint8 (H, W) image, matching Claher::run exactly

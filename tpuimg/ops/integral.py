@@ -18,9 +18,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from tpuimg.core.jit import op_jit
 
 
-@functools.partial(jax.jit, static_argnames=("impl",))
+@op_jit(static_argnames=("impl",))
 def integral(img, impl: str = "auto"):
     """Inclusive 2D prefix sum over the trailing two dims; int32 result.
 

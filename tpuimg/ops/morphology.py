@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from tpuimg.core.borders import REPLICATE, pad_mode
 from tpuimg.core.layout import round_up
+from tpuimg.core.jit import op_jit
 
 # Below this radius the (2r+1)-term shift-reduce beats the scan-based van
 # Herk (4K v5e sweep, docs/sweep_morphology.json: shift-reduce r7 ≈ 0.41 ms
@@ -133,13 +134,13 @@ def morph_ypadded(p, radius: int, mode: int, impl: str = "auto"):
     return axis_fn(p, radius, p.ndim - 2, fn)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "impl"))
+@op_jit(static_argnames=("radius", "impl"))
 def erode(img, radius: int, impl: str = "auto"):
     """Min over a (2r+1)² square SE, replicate border (mode 0)."""
     return _morph(img, radius, 0, impl)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "impl"))
+@op_jit(static_argnames=("radius", "impl"))
 def dilate(img, radius: int, impl: str = "auto"):
     """Max over a (2r+1)² square SE, replicate border (mode 1)."""
     return _morph(img, radius, 1, impl)
@@ -168,13 +169,13 @@ def _open_close(img, radius: int, mode: int, impl: str):
     return second(first(img, radius, impl), radius, impl)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "impl"))
+@op_jit(static_argnames=("radius", "impl"))
 def morph_open(img, radius: int, impl: str = "auto"):
     """Erode then dilate (square SE, replicate border)."""
     return _open_close(img, radius, 0, impl)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "impl"))
+@op_jit(static_argnames=("radius", "impl"))
 def morph_close(img, radius: int, impl: str = "auto"):
     """Dilate then erode (square SE, replicate border)."""
     return _open_close(img, radius, 1, impl)

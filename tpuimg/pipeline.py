@@ -19,12 +19,10 @@ import jax.numpy as jnp
 from tpuimg.ops.gaussian import gaussian
 from tpuimg.ops.guided import guided_filter
 from tpuimg.ops.histogram import clahe
+from tpuimg.core.jit import op_jit
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("clip_limit", "tiles", "radius", "sigma", "gf_radius", "gf_eps"),
-)
+@op_jit(static_argnames=("clip_limit", "tiles", "radius", "sigma", "gf_radius", "gf_eps"))
 def enhance(
     img,
     clip_limit: float = 2.0,
