@@ -546,9 +546,12 @@ def main(argv=None):
 
     # persistent compile cache: autotest sweeps re-visit padded geometries
     # across runs and sessions; recompiling a 6000-px-wide Mosaic kernel
-    # costs ~45 s, a cache hit is ~free
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    # costs ~45 s, a cache hit is ~free. Default to a user cache dir — the
+    # package dir may be a read-only site-packages install; override with
+    # TPUIMG_CACHE_DIR (e.g. a repo-local .jax_cache for development)
+    cache_dir = os.environ.get(
+        "TPUIMG_CACHE_DIR", os.path.expanduser("~/.cache/tpuimg/jax"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.platform:

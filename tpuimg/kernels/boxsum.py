@@ -42,8 +42,7 @@ from tpuimg.core.borders import REFLECT101, pad_mode
 from tpuimg.core.jit import op_jit
 from tpuimg.core.layout import cdiv, round_up
 from tpuimg.kernels import interpret_mode
-from tpuimg.kernels.sep_stencil import (_aligned_band, _assemble_rows,
-                                        _band_specs, _x_extend)
+from tpuimg.kernels.sep_stencil import _x_extend
 from tpuimg.kernels.window import window_sum
 
 # Output columns per strip of the 6-stream general kernel. NOTE (round 3):
@@ -391,27 +390,11 @@ def guided_pallas_ypadded(I, p, radius: int, eps: float,
         return column_strips(
             lambda seg, lo, hi: _guided_onepass_ypadded(
                 seg, seg, radius, eps, True, lo, hi), I, 2 * radius, limit)
-    # non-self: slice I and P identically per strip (same geometry as
-    # column_strips)
-    w = I.shape[1]
-    if w <= limit:
-        return _guided_onepass_ypadded(I, P, radius, eps, False)
-    d = 2 * radius
-    step = limit - 2 * d - 128
-    outs = []
-    x0 = 0
-    while x0 < w:
-        x1 = min(w, x0 + step)
-        if w - x1 <= d:
-            x1 = w
-        lo = min(d, x0)
-        hi = d if x1 < w else 0
-        Iseg = jax.lax.slice_in_dim(I, x0 - lo, x1 + hi, axis=1)
-        Pseg = jax.lax.slice_in_dim(P, x0 - lo, x1 + hi, axis=1)
-        outs.append(_guided_onepass_ypadded(Iseg, Pseg, radius, eps, False,
-                                            lo, hi))
-        x0 = x1
-    return jnp.concatenate(outs, axis=1)
+    # non-self: column_strips slices I and P identically per strip
+    return column_strips(
+        lambda Iseg, Pseg, lo, hi: _guided_onepass_ypadded(
+            Iseg, Pseg, radius, eps, False, lo, hi),
+        (I, P), 2 * radius, limit)
 
 
 @op_jit(static_argnames=("radius", "eps", "variant", "self_guided"))

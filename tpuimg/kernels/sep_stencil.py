@@ -107,7 +107,7 @@ def _extract_row(tv, j):
 
 def _assemble_rows(top_ref, cur_ref, bot_ref, i, d: int, hb: int, band: int,
                    h: int, reflect: bool, h_aligned: bool, nb: int,
-                   cvt=None):
+):
     """Assemble a (band + 2d, W) tile from the three halo views with the
     y border policy applied in-kernel.
 
@@ -115,21 +115,19 @@ def _assemble_rows(top_ref, cur_ref, bot_ref, i, d: int, hb: int, band: int,
     are rebuilt from static in-tile row slices — (d, W) selects only. When
     the band doesn't divide h, the bottom border rows sit mid-tile at a
     dynamic row, fixed with masked full-tile selects (the masks are false
-    on unaffected bands). ``cvt`` optionally widens each block at load
-    (u8-native mode) so no select ever runs on u8 lanes.
+    on unaffected bands).
     """
-    cvt = cvt if cvt is not None else (lambda x: x)
     if reflect and band <= d:
         raise ValueError(
             f"reflect border assembly needs band > halo depth ({band} <= {d})")
-    cur = cvt(cur_ref[:])
+    cur = cur_ref[:]
     if reflect:
         # rows d, d-1, ..., 1 (lax.rev is not lowerable in Mosaic)
         top_fix = jnp.concatenate(
             [cur[d - j : d - j + 1] for j in range(d)], axis=0)
     else:
         top_fix = jnp.broadcast_to(cur[0:1], (d, cur.shape[1]))
-    top = jnp.where(i == 0, top_fix, cvt(top_ref[hb - d :]))
+    top = jnp.where(i == 0, top_fix, top_ref[hb - d :])
     if h_aligned:
         if reflect:
             # rows band-2, ..., band-1-d
@@ -138,9 +136,9 @@ def _assemble_rows(top_ref, cur_ref, bot_ref, i, d: int, hb: int, band: int,
         else:
             bot_fix = jnp.broadcast_to(cur[band - 1 : band],
                                        (d, cur.shape[1]))
-        bot = jnp.where(i == nb - 1, bot_fix, cvt(bot_ref[:d]))
+        bot = jnp.where(i == nb - 1, bot_fix, bot_ref[:d])
     else:
-        bot = cvt(bot_ref[:d])
+        bot = bot_ref[:d]
     t = jnp.concatenate([top, cur, bot], axis=0)  # (band + 2d, W)
     if not h_aligned:
         jh = h - 1 + d - i * band  # tile row of image row h-1
@@ -207,7 +205,7 @@ def _x_extend(tv, d: int, w_in: int, wout: int, reflect: bool,
 
 def _make_kernel(radius: int, band: int, w_in: int, wout: int, h: int,
                  weights, is_min, hb: int, reflect: bool, h_aligned: bool,
-                 lo: int = 0, hi: int = 0, compute_dtype=None):
+                 lo: int = 0, hi: int = 0):
     r = radius
     nb = cdiv(h, band)
 
@@ -238,18 +236,12 @@ def _make_kernel(radius: int, band: int, w_in: int, wout: int, h: int,
         fn = jnp.minimum if is_min else jnp.maximum
         return window_extreme(t, 2 * r + 1, band, axis=0, fn=fn)
 
-    cvt = (None if compute_dtype is None
-           else (lambda x: x.astype(jnp.int32).astype(compute_dtype)))
-
     def kernel(top_ref, cur_ref, bot_ref, o_ref):
         i = pl.program_id(0)
         t = _assemble_rows(top_ref, cur_ref, bot_ref, i, r, hb, band, h,
-                           reflect, h_aligned, nb, cvt)
+                           reflect, h_aligned, nb)
         ext, off = _x_extend(t, r, w_in, wout, reflect, lo, hi)
-        res = y_reduce(x_reduce(ext, off))
-        if compute_dtype is not None:
-            res = res.astype(jnp.int32).astype(o_ref.dtype)
-        o_ref[:] = res
+        o_ref[:] = y_reduce(x_reduce(ext, off))
 
     return kernel
 
@@ -278,12 +270,12 @@ _MAX_LANES = 4096
 
 
 def _sep_stencil(img, radius: int, weights, is_min: bool, border: str,
-                 lo: int = 0, hi: int = 0, compute_dtype=None):
+                 lo: int = 0, hi: int = 0):
     """Run the fused engine on a raw 2D image — borders in-kernel.
 
     ``lo``/``hi``: real halo columns already present at the left/right edge
     (column-strip decomposition of wide frames); 0 means frame edge (border
-    policy applies). ``compute_dtype``: in-kernel widening for uint8 inputs.
+    policy applies).
     """
     h, w_in = img.shape
     r = radius
@@ -312,10 +304,10 @@ def _sep_stencil(img, radius: int, weights, is_min: bool, border: str,
         # pay one row-pad copy and run the fix-free ypadded kernel.
         pad = jnp.pad(img, ((r, r), (0, 0)), mode=pad_mode(border))
         return _sep_stencil_ypadded(pad, r, weights, is_min, border,
-                                    compute_dtype, lo, hi)
+                                    lo, hi)
 
     kernel = _make_kernel(r, band, w_in, wout, h, weights, is_min, hb,
-                          reflect, h_aligned, lo, hi, compute_dtype)
+                          reflect, h_aligned, lo, hi)
     out = pl.pallas_call(
         kernel,
         grid=(cdiv(h, band),),
@@ -328,18 +320,29 @@ def _sep_stencil(img, radius: int, weights, is_min: bool, border: str,
     return out
 
 
-def column_strips(fn, img, d: int, max_lanes: int):
-    """Apply ``fn(seg, lo, hi)`` over column strips of ``img``.
+def column_strips(fn, imgs, d: int, max_lanes: int):
+    """Apply ``fn(seg..., lo, hi)`` over column strips.
 
-    Frames at most ``max_lanes`` wide go through whole; wider frames are
-    split into strips whose slices carry ``d`` REAL halo columns from the
-    neighboring strip (lo/hi = halo actually present; 0 at frame edges
-    where the border policy applies). A tail thinner than the halo is
-    absorbed into the previous strip."""
-    w = img.shape[-1]
+    ``imgs`` is one array or a tuple of same-width arrays sliced
+    identically (the guided filter's I and P). Frames at most ``max_lanes``
+    wide go through whole; wider frames are split into strips whose slices
+    carry ``d`` REAL halo columns from the neighboring strip (lo/hi = halo
+    actually present; 0 at frame edges where the border policy applies).
+    A tail thinner than the halo is absorbed into the previous strip."""
+    single = not isinstance(imgs, (tuple, list))
+    if single:
+        imgs = (imgs,)
+    w = imgs[0].shape[-1]
     if w <= max_lanes:
-        return fn(img, 0, 0)
+        return fn(*imgs, 0, 0)
     step = max_lanes - 2 * d - 128  # halo + tail-absorb headroom
+    if step <= 0:
+        # unguarded, step<=0 would loop forever (or emit a zero-width strip
+        # that dies deep in Mosaic with "vector types must have positive
+        # constant sizes") — round-3 review finding
+        raise ValueError(
+            f"halo depth {d} too large for {max_lanes}-lane strips of a "
+            f"{w}-wide frame (strip step {step} <= 0); reduce the radius")
     outs = []
     x0 = 0
     while x0 < w:
@@ -348,26 +351,25 @@ def column_strips(fn, img, d: int, max_lanes: int):
             x1 = w
         lo = min(d, x0)
         hi = d if x1 < w else 0
-        seg = jax.lax.slice_in_dim(img, x0 - lo, x1 + hi, axis=-1)
-        outs.append(fn(seg, lo, hi))
+        segs = [jax.lax.slice_in_dim(im, x0 - lo, x1 + hi, axis=-1)
+                for im in imgs]
+        outs.append(fn(*segs, lo, hi))
         x0 = x1
     return jnp.concatenate(outs, axis=-1)
 
 
-def _sep_stencil_strips(img, radius: int, weights, is_min: bool, border: str,
-                        compute_dtype=None):
+def _sep_stencil_strips(img, radius: int, weights, is_min: bool, border: str):
     """Column-strip driver: frames wider than _MAX_LANES are processed in
     strips with real halo columns (one slice copy per strip — still ~1.4x
     faster than the XLA strip path at 8K)."""
     return column_strips(
         lambda seg, lo, hi: _sep_stencil(seg, radius, weights, is_min,
-                                         border, lo=lo, hi=hi,
-                                         compute_dtype=compute_dtype),
+                                         border, lo=lo, hi=hi),
         img, radius, _MAX_LANES)
 
 
 def _sep_stencil_ypadded(x, radius: int, weights, is_min: bool, border: str,
-                         compute_dtype=None, lo: int = 0, hi: int = 0):
+                         lo: int = 0, hi: int = 0):
     """Fused engine on a block whose row axis is ALREADY padded by ``radius``
     rows per side (halo rows from a neighbor shard, or border rows applied
     by the sharding layer). x borders are still built in-kernel. Entry point
@@ -393,8 +395,6 @@ def _sep_stencil_ypadded(x, radius: int, weights, is_min: bool, border: str,
 
     def kernel(cur_ref, bot_ref, o_ref):
         t = jnp.concatenate([cur_ref[:], bot_ref[: 2 * r]], axis=0)
-        if compute_dtype is not None:
-            t = t.astype(jnp.int32).astype(compute_dtype)
         ext, off = _x_extend(t, r, w_in, wout, reflect, lo, hi)
         if weights is not None:
             acc = jnp.float32(weights[r]) * ext[:, off : off + wout]
@@ -412,10 +412,7 @@ def _sep_stencil_ypadded(x, radius: int, weights, is_min: bool, border: str,
             fn = jnp.minimum if is_min else jnp.maximum
             rowf = window_extreme(ext, 2 * r + 1, wout, axis=1, fn=fn,
                                   start=off - r)
-            res = window_extreme(rowf, 2 * r + 1, band, axis=0, fn=fn)
-            if compute_dtype is not None:
-                res = res.astype(jnp.int32).astype(o_ref.dtype)
-            o_ref[:] = res
+            o_ref[:] = window_extreme(rowf, 2 * r + 1, band, axis=0, fn=fn)
 
     out = pl.pallas_call(
         kernel,
@@ -437,8 +434,7 @@ def _sep_stencil_ypadded(x, radius: int, weights, is_min: bool, border: str,
 
 
 def _open_close_kernel(r: int, band: int, w: int, wout: int, h: int,
-                       first_min: bool, hb: int, h_aligned: bool,
-                       compute_dtype=None):
+                       first_min: bool, hb: int, h_aligned: bool):
     """Fused open/close: stage-1 extreme on a (band+2r, wout+2r) extent from
     a 2r halo, stage-2 extreme of the opposite sense on the band.
 
@@ -453,13 +449,10 @@ def _open_close_kernel(r: int, band: int, w: int, wout: int, h: int,
     fn2 = jnp.maximum if first_min else jnp.minimum
     nb = cdiv(h, band)
 
-    cvt = (None if compute_dtype is None
-           else (lambda x: x.astype(jnp.int32).astype(compute_dtype)))
-
     def kernel(top_ref, cur_ref, bot_ref, o_ref):
         i = pl.program_id(0)
         t = _assemble_rows(top_ref, cur_ref, bot_ref, i, 2 * r, hb, band, h,
-                           False, h_aligned, nb, cvt)  # (band+4r, W)
+                           False, h_aligned, nb)  # (band+4r, W)
         ext, off = _x_extend(t, 2 * r, w, wout, False)
         # s1 lane l ↔ stage-1 column x = l - r
         s1 = window_extreme(ext, ksz, wout + 2 * r, axis=1, fn=fn1,
@@ -477,15 +470,12 @@ def _open_close_kernel(r: int, band: int, w: int, wout: int, h: int,
         jh1 = jnp.clip(h - 1 + r - i * band, 0, band + 2 * r - 1)
         s1 = jnp.where(gy > h - 1, _extract_row(s1, jh1), s1)
         s2 = window_extreme(s1, ksz, wout, axis=1, fn=fn2)
-        res = window_extreme(s2, ksz, band, axis=0, fn=fn2)
-        if compute_dtype is not None:
-            res = res.astype(jnp.int32).astype(o_ref.dtype)
-        o_ref[:] = res
+        o_ref[:] = window_extreme(s2, ksz, band, axis=0, fn=fn2)
 
     return kernel
 
 
-def _open_close(img, radius: int, first_min: bool, compute_dtype=None):
+def _open_close(img, radius: int, first_min: bool):
     """Fused open (erode then dilate) / close on a 2D image — one HBM pass
     where the composed form is two (the reference composes two full
     hMorphology launches, morphology.cpp:25-60). Borders in-kernel."""
@@ -502,8 +492,8 @@ def _open_close(img, radius: int, first_min: bool, compute_dtype=None):
         band = ab
     h_aligned = h % band == 0
 
-    kernel = _open_close_kernel(r, band, w, wout, h, first_min, hb, h_aligned,
-                                compute_dtype)
+    kernel = _open_close_kernel(r, band, w, wout, h, first_min, hb,
+                                h_aligned)
     out = pl.pallas_call(
         kernel,
         grid=(cdiv(h, band),),
@@ -518,9 +508,11 @@ def _open_close(img, radius: int, first_min: bool, compute_dtype=None):
 
 def open_close_pallas(img, radius: int, mode: int):
     """Fused morphological open (mode 0) / close (mode 1), replicate border.
-    uint8 streams u8 blocks with the in-kernel bf16 widen (_U8_WIDEN).
-    Frames wider than _MAX_LANES compose two strip-stencil passes instead
-    (the fused kernel's lane block would not compile)."""
+    uint8 is widened to bf16 OUTSIDE the kernel and narrowed after — XLA
+    fuses the widen into its pad, and the in-kernel-widen variant measured
+    slower (see the u8-native note below _OC_BAND_CAP). Frames wider than
+    _MAX_LANES compose two strip-stencil passes instead (the fused kernel's
+    lane block would not compile)."""
     img = jnp.asarray(img)
     first_min = mode == 0  # open erodes (min) first
     if img.shape[-1] > _MAX_LANES:
@@ -570,11 +562,13 @@ def gaussian_pallas_ypadded(x, radius: int, sigma: float):
 
 # compute dtype for u8 morphology: widen to bf16 OUTSIDE the kernel (min/max
 # over integers <= 255 is bf16-exact). Re-probed round 3 with the in-kernel
-# borders: u8-native blocks + in-kernel cast (compute_dtype=_U8_WIDEN) are
-# exact but SLOWER — erode r2 0.114 vs 0.080 ms, r15 0.158 vs 0.117
-# (/tmp/probe_u8.log 2026-08-17) — the (32,128) u8 tile granularity doubles
-# the halo block height (hb 32 vs 16) and the load-cast costs more than the
-# XLA widen/narrow passes it saves. Keep the outside widen.
+# borders: u8-native blocks + an in-kernel load cast are exact but SLOWER —
+# erode r2 0.114 vs 0.080 ms, r15 0.158 vs 0.117 (/tmp/probe_u8.log
+# 2026-08-17) — the (32,128) u8 tile granularity doubles the halo block
+# height (hb 32 vs 16) and the load-cast costs more than the XLA
+# widen/narrow passes it saves. The in-kernel-cast plumbing was removed
+# after the probe (round-3 review); re-add a compute_dtype hook only with
+# new evidence.
 _U8_WIDEN = jnp.bfloat16
 
 
