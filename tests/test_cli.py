@@ -47,6 +47,17 @@ def test_cli_morph_autotest(tmp_path, monkeypatch, capsys):
     assert all(l.endswith(": 0") for l in log.strip().splitlines())
 
 
+def test_cli_tolerance_autotests(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    assert main(["clahe-autotest", "--runs", "2", "--max-size", "200"]) == 0
+    assert main(["gaussian-autotest", "--runs", "2", "--max-size", "200"]) == 0
+    assert main(["guided-autotest", "--runs", "2", "--max-size", "200"]) == 0
+    log = (tmp_path / "res.log").read_text()
+    assert log.count("tpuimg-clahe") == 2
+    assert log.count("tpuimg-gauss") == 2
+    assert log.count("tpuimg-guided") == 2
+
+
 def test_cli_he(gray_png, capsys):
     assert main(["he", gray_png, "--nreps", "2"]) == 0
     assert os.path.exists(gray_png.replace(".png", "_tpuhe.png"))
