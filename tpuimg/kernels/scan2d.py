@@ -51,6 +51,11 @@ integral_r3*_probe.py) — don't re-try without new evidence:
   rows appended to [hi; lo]): 0.71 ms AND inexact — the d2-weighted f32
   partial sums exceed the 2^24 integer-exact range;
 - MXU width-expansion of the carry scan (probe r3d V5): no change;
+- TWO independent carry chains per grid step (top/bottom frame halves, the
+  cross-half fix-up as a VMEM-speed XLA add) hoping Mosaic interleaves the
+  chains to hide tiny-matmul latency: 0.187-0.191 ms vs 0.163 production,
+  bands 32/48/64 (probe r3j) — the doubled per-step VMEM blocks cost more
+  than the interleave recovers;
 - column-scan-FIRST (u8 needs no split) then 2-part row scan: 0.31 ms —
   the extra relayouts outweigh the saved split;
 - tile-major (H·nt, 128) input BlockSpec to skip the in-kernel reshape:
