@@ -30,6 +30,23 @@ def test_cli_autotest(tmp_path, monkeypatch, capsys):
     assert os.path.exists(tmp_path / "res.log")
 
 
+def test_cli_autotest_bucketed(tmp_path, monkeypatch, capsys):
+    """--bucket pads the drawn frame to multiples of N with zeros; the run
+    must stay exact (integral is invariant in the top-left region and the
+    full padded frame is verified against the padded oracle)."""
+    monkeypatch.chdir(tmp_path)
+    assert main(["integral-autotest", "--runs", "3", "--max-size", "200",
+                 "--impl", "xla", "--bucket", "128"]) == 0
+    log = (tmp_path / "res.log").read_text()
+    lines = log.strip().splitlines()
+    assert len(lines) == 3
+    assert all("(bucket" in l and l.endswith(": 0") for l in lines)
+    # padded sides are multiples of the bucket
+    for l in lines:
+        wp, hp = l.split("(bucket ")[1].split(")")[0].split(" x ")
+        assert int(wp) % 128 == 0 and int(hp) % 128 == 0
+
+
 def test_cli_he_autotest(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     assert main(["he-autotest", "--runs", "2", "--max-size", "200"]) == 0
