@@ -64,6 +64,30 @@ def test_cli_morph_autotest(tmp_path, monkeypatch, capsys):
     assert all(l.endswith(": 0") for l in log.strip().splitlines())
 
 
+def test_cli_bucketed_autotests_generic(tmp_path, monkeypatch, capsys):
+    """Generic --bucket mode: the frame is drawn at the lattice shape with
+    fully random content (op and oracle see the identical frame); static
+    float params (sigma, clip) are laddered so the compile cache can serve.
+    The log line records the bucketed shape and the laddered param."""
+    monkeypatch.chdir(tmp_path)
+    assert main(["he-autotest", "--runs", "2", "--max-size", "200",
+                 "--bucket", "128"]) == 0
+    assert main(["morph-autotest", "--runs", "2", "--max-size", "200",
+                 "--max-radius", "5", "--bucket", "128"]) == 0
+    assert main(["gaussian-autotest", "--runs", "2", "--max-size", "200",
+                 "--bucket", "128"]) == 0
+    lines = (tmp_path / "res.log").read_text().strip().splitlines()
+    assert len(lines) == 6 and all("(bucket " in l for l in lines)
+    for l in lines:
+        wp, hp = l.split("(bucket ")[1].split(")")[0].split(" x ")
+        assert int(wp) % 128 == 0 and int(hp) % 128 == 0
+    # integer ops exact; gaussian rows carry the laddered sigma
+    assert all(l.endswith(": 0") for l in lines[:4])
+    gauss = [l for l in lines if "-gauss " in l]
+    assert len(gauss) == 2
+    assert all(" s" in l.split("-gauss ")[1] for l in gauss)
+
+
 def test_cli_tolerance_autotests(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     assert main(["clahe-autotest", "--runs", "2", "--max-size", "200"]) == 0

@@ -132,6 +132,22 @@ def _autotest(args, run_one, tag, tol: float = 0.0):
     return failures == 0
 
 
+def _bucket_shape(args, h, w):
+    """Round a drawn shape up to --bucket multiples (compile amortization —
+    see cmd_integral_autotest). Unlike the integral's zero-embed (which
+    additionally proves the trailing-zero slice identity), the generic form
+    fills the WHOLE bucketed frame with random content: the device op and
+    the oracle consume the identical frame, so the per-run contract is
+    unchanged — only the shape-draw space is quantized onto the lattice
+    (off-lattice shapes remain covered by unbucketed runs, and the log line
+    records the bucketed shape)."""
+    if not getattr(args, "bucket", 0):
+        return h, w, ""
+    hp = -(-h // args.bucket) * args.bucket
+    wp = -(-w // args.bucket) * args.bucket
+    return hp, wp, f" (bucket {wp} x {hp})"
+
+
 def cmd_integral_autotest(args):
     """--bucket N embeds the drawn frame in a zero-padded frame whose sides
     are multiples of N before the device op. Exact by construction: an
@@ -170,8 +186,10 @@ def cmd_he_autotest(args):
     from tpuimg.oracle import hist_equalize_ref
 
     def run_one(rng, h, w):
+        h, w, bdesc = _bucket_shape(args, h, w)
         img = rng.integers(0, 256, (h, w), dtype=np.uint8)
-        return "", _maxdiff(tpuimg.hist_equalize(img), hist_equalize_ref(img))
+        return bdesc, _maxdiff(tpuimg.hist_equalize(img),
+                               hist_equalize_ref(img))
 
     return _autotest(args, run_one, "-he")
 
@@ -181,13 +199,14 @@ def cmd_morph_autotest(args):
     from tpuimg.oracle import dilate_ref, erode_ref
 
     def run_one(rng, h, w):
+        h, w, bdesc = _bucket_shape(args, h, w)
         img = rng.integers(0, 256, (h, w), dtype=np.uint8)
         r = int(rng.integers(1, args.max_radius + 1))
         if rng.integers(2):
             diff = _maxdiff(tpuimg.dilate(img, r), dilate_ref(img, r))
-            return f"-dilate r{r}", diff
+            return f"-dilate r{r}{bdesc}", diff
         diff = _maxdiff(tpuimg.erode(img, r), erode_ref(img, r))
-        return f"-erode r{r}", diff
+        return f"-erode r{r}{bdesc}", diff
 
     return _autotest(args, run_one, "")
 
@@ -199,10 +218,16 @@ def cmd_clahe_autotest(args):
     from tpuimg.oracle import clahe_ref
 
     def run_one(rng, h, w):
+        h, w, bdesc = _bucket_shape(args, h, w)
         img = rng.integers(0, 256, (h, w), dtype=np.uint8)
         xt = int(rng.integers(2, 9))
         yt = int(rng.integers(2, 9))
         clip = float(rng.uniform(1.0, 60.0))
+        if args.bucket:
+            # clip_limit is a static arg (fresh compile per value); in
+            # bucketed mode draw it from a ladder so the cache can serve
+            ladder = (1.0, 2.0, 4.0, 8.0, 20.0, 40.0, 60.0)
+            clip = ladder[int(rng.integers(len(ladder)))]
         # centered padding must satisfy the dLimitSize reflect bound
         # (ops/histogram geometry validation); skip invalid grid draws
         from tpuimg.core.validate import TpuImgError
@@ -210,8 +235,8 @@ def cmd_clahe_autotest(args):
         try:
             got = tpuimg.clahe(img, clip, xt, yt)
         except TpuImgError:
-            return f"-clahe {xt}x{yt} (skipped: invalid grid)", 0.0
-        return (f"-clahe {xt}x{yt} clip{clip:.1f}",
+            return f"-clahe {xt}x{yt} (skipped: invalid grid){bdesc}", 0.0
+        return (f"-clahe {xt}x{yt} clip{clip:.1f}{bdesc}",
                 _maxdiff(got, clahe_ref(img, clip, xt, yt)))
 
     return _autotest(args, run_one, "", tol=1.0)
@@ -222,11 +247,18 @@ def cmd_gaussian_autotest(args):
     from tpuimg.oracle import gaussian_ref
 
     def run_one(rng, h, w):
+        h, w, bdesc = _bucket_shape(args, h, w)
         img = rng.random((h, w), dtype=np.float32)
         r = int(rng.integers(1, 8))
         sigma = float(rng.uniform(0.5, 3.0))
+        if args.bucket:
+            # sigma is a static arg (fresh compile per value); ladder it in
+            # bucketed mode so the cache can serve (same as clahe's clip)
+            ladder = (0.5, 1.0, 1.5, 2.0, 3.0)
+            sigma = ladder[int(rng.integers(len(ladder)))]
         got = tpuimg.gaussian(img, r, sigma)
-        return f"-gauss r{r}", _maxdiff(got, gaussian_ref(img, r, sigma))
+        return (f"-gauss r{r} s{sigma:g}{bdesc}",
+                _maxdiff(got, gaussian_ref(img, r, sigma)))
 
     return _autotest(args, run_one, "", tol=1e-5)
 
@@ -236,6 +268,7 @@ def cmd_guided_autotest(args):
     from tpuimg.oracle import guided_filter_ref
 
     def run_one(rng, h, w):
+        h, w, bdesc = _bucket_shape(args, h, w)
         I = rng.random((h, w), dtype=np.float32)
         p = rng.random((h, w), dtype=np.float32)
         r = int(rng.integers(1, 17))
@@ -243,7 +276,7 @@ def cmd_guided_autotest(args):
             r = max(1, min(h, w) // 2 - 1)
         got = tpuimg.guided_filter(I, p, r, 1e-3, border="reflect101")
         ref = guided_filter_ref(I, p, r, 1e-3, border="reflect101")
-        return f"-guided r{r}", _maxdiff(got, ref)
+        return f"-guided r{r}{bdesc}", _maxdiff(got, ref)
 
     return _autotest(args, run_one, "", tol=1e-4)
 
@@ -558,6 +591,7 @@ def main(argv=None):
     ah.add_argument("--runs", type=int, default=10)
     ah.add_argument("--max-size", type=int, default=6000)
     ah.add_argument("--seed", type=int, default=0)
+    ah.add_argument("--bucket", type=int, default=0)
     ah.set_defaults(fn=cmd_he_autotest)
 
     am = sub.add_parser("morph-autotest")
@@ -565,6 +599,7 @@ def main(argv=None):
     am.add_argument("--max-size", type=int, default=4000)
     am.add_argument("--max-radius", type=int, default=31)
     am.add_argument("--seed", type=int, default=0)
+    am.add_argument("--bucket", type=int, default=0)
     am.set_defaults(fn=cmd_morph_autotest)
 
     for nm, fun, mx in [("clahe-autotest", cmd_clahe_autotest, 4000),
@@ -574,6 +609,7 @@ def main(argv=None):
         ax.add_argument("--runs", type=int, default=10)
         ax.add_argument("--max-size", type=int, default=mx)
         ax.add_argument("--seed", type=int, default=0)
+        ax.add_argument("--bucket", type=int, default=0)
         ax.set_defaults(fn=fun)
 
     e = sub.add_parser("he")
