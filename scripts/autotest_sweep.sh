@@ -20,6 +20,12 @@ run() {
   [ -f /tmp/autotest_stop ] && { echo STOPPED >> "$log"; exit 0; }
 }
 
+# Phase 0 — regenerate the tracked sweep artifacts (docs/sweep_morphology.*;
+# the round-2 run left the JSON in cwd and it was lost)
+echo "=== morph_sweep $(date +%H:%M:%S) ===" >> "$log"
+timeout 3600 python scripts/morph_sweep.py >> "$log" 2>&1
+echo "exit=$?" >> "$log"
+
 # Phase A — off-lattice coverage for every op
 for sub in clahe-autotest gaussian-autotest guided-autotest he-autotest \
            morph-autotest; do

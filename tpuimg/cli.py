@@ -467,7 +467,7 @@ def cmd_sweep(args):
         t = _time(fn, arg, args.nreps, args.width * args.height)
         results.append({"radius": r, "ms": t.ms, "gpix_s": t.gpix_s})
         print(f"radius {r:2d}: {t.ms:9.3f} ms  {t.gpix_s:8.2f} GPix/s")
-    out = f"sweep_{args.op}.json"
+    out = os.path.join(args.out_dir, f"sweep_{args.op}.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")
@@ -485,8 +485,9 @@ def cmd_sweep(args):
         ax.set_ylabel("ms / frame")
         ax.set_title(f"{args.op} {args.width}x{args.height}")
         fig.tight_layout()
-        fig.savefig(f"sweep_{args.op}.png", dpi=120)
-        print(f"wrote sweep_{args.op}.png")
+        png = os.path.join(args.out_dir, f"sweep_{args.op}.png")
+        fig.savefig(png, dpi=120)
+        print(f"wrote {png}")
     return True
 
 
@@ -654,6 +655,7 @@ def main(argv=None):
     s.add_argument("--width", type=int, default=3840)
     s.add_argument("--height", type=int, default=2160)
     s.add_argument("--plot", action="store_true")
+    s.add_argument("--out-dir", default=".")
     s.set_defaults(fn=cmd_sweep)
 
     st = sub.add_parser("stream")
