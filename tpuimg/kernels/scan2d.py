@@ -72,7 +72,14 @@ integral_r3*_probe.py) — don't re-try without new evidence:
   precision: HIGH");
 - 3D (band, nt, 128) BlockSpecs + 3D dot_generals to eliminate both
   in-kernel reshapes: 0.46 ms (2.5x WORSE) at bands 48/64/96 — Mosaic's
-  3D matmul/layout path costs far more than the two 2D relayouts it saves.
+  3D matmul/layout path costs far more than the two 2D relayouts it saves;
+- (probe r3k, on-TPU) direct u8→f32 and u8→bf16 casts do NOT lower in
+  Mosaic ("Unsupported cast") — the i32 hop is mandatory, so the "skip a
+  convert" lever does not exist; bf16 row operand via the supported
+  i32→bf16 hop: 0.175 ms vs 0.160 shipped (extra converts cost more than
+  the halved operand VMEM); 256-lane row tiles: 0.162-0.166 ms (wash,
+  within chip variance); fine band sweep 40/56 around the 48 plateau:
+  0.170/0.188 ms — 48 confirmed optimal.
 """
 
 from __future__ import annotations
