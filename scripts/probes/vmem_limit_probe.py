@@ -42,21 +42,19 @@ def main():
     raw_gauss = gaussian_pallas  # not op_jit-wrapped at the kernel layer
 
     cases = [
-        ("guided_r8_self", lambda o: jax.jit(
-            lambda x: raw_guided(x, x, 8, 1e-3, "onepass", True),
-            compiler_options=o), img_f),
-        ("gauss_r2", lambda o: jax.jit(
-            lambda x: raw_gauss(x, 2, 1.5), compiler_options=o), img_f),
-        ("integral", lambda o: jax.jit(
-            integral_pallas.__wrapped__, compiler_options=o), img_u8),
+        ("guided_r8_self",
+         lambda x: raw_guided(x, x, 8, 1e-3, "onepass", True), img_f),
+        ("gauss_r2", lambda x: raw_gauss(x, 2, 1.5), img_f),
+        ("integral", integral_pallas.__wrapped__, img_u8),
     ]
-    for name, mk, arg in cases:
-        default = mk(None)
-        raised = mk(TPU_COMPILER_OPTIONS)
-        # interleave to cancel clock drift
+    default_jit = jax.jit
+    raised_jit = lambda f: jax.jit(f, compiler_options=TPU_COMPILER_OPTIONS)
+    for name, fn, arg in cases:
+        # interleave to cancel clock drift; jit_wrapper controls the
+        # TOP-LEVEL jit (nested compiler_options are rejected by jax)
         for rep in range(3):
-            rd = time_stream_fn(default, arg, name=name)
-            rr = time_stream_fn(raised, arg, name=name)
+            rd = time_stream_fn(fn, arg, name=name, jit_wrapper=default_jit)
+            rr = time_stream_fn(fn, arg, name=name, jit_wrapper=raised_jit)
             print(f"{name} rep{rep}: default {rd.ms:.4f} ms   "
                   f"raised64M {rr.ms:.4f} ms", flush=True)
 

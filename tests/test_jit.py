@@ -54,3 +54,40 @@ def test_op_jit_clear_cache():
 def test_tpu_options_contain_scoped_vmem():
     # the 4K enhance pipeline needs >16M scoped vmem (core/jit.py docstring)
     assert TPU_COMPILER_OPTIONS["xla_tpu_scoped_vmem_limit_kib"] > 16 * 1024
+
+
+def test_vmem_fallback_sticky():
+    # the raised-limit variant costs guided r8 ~15% (vmem_limit_probe), so
+    # it must engage ONLY on the vmem-stack compile failure — and then stick
+    from tpuimg.core.jit import _vmem_fallback_call
+
+    calls = []
+
+    def plain(x):
+        calls.append("plain")
+        raise RuntimeError(
+            "Ran out of memory in memory space vmem while allocating on "
+            "stack for %guided_filter_pallas")
+
+    def raised(x):
+        calls.append("raised")
+        return x + 1
+
+    state = {"tpu": plain}
+    assert _vmem_fallback_call(state, plain, raised, (1,), {}) == 2
+    assert state["tpu"] is raised  # sticky: later calls skip the retry
+    assert _vmem_fallback_call(state, plain, raised, (5,), {}) == 6
+    assert calls == ["plain", "raised", "raised"]
+
+
+def test_vmem_fallback_reraises_other_errors():
+    from tpuimg.core.jit import _vmem_fallback_call
+    import pytest
+
+    def plain(x):
+        raise ValueError("some unrelated failure")
+
+    state = {"tpu": plain}
+    with pytest.raises(ValueError, match="unrelated"):
+        _vmem_fallback_call(state, plain, lambda x: x, (1,), {})
+    assert state["tpu"] is plain  # no sticky switch on unrelated errors

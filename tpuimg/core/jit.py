@@ -9,11 +9,14 @@ round 3 on the 4K enhance pipeline, where the general-path guided kernel's
 (2176, 1792) f32 output is 16.46 MiB. Shrinking kernel strips only moves
 which set of arrays gets parked; raising the scoped limit fixes the class.
 
-``op_jit`` therefore jits twice: a plain variant for CPU (which rejects
-TPU-only options) and a TPU variant with the scoped-vmem limit raised to
-64 MiB (VMEM is 128 MiB on v5e; parking more arrays on-chip is a win, not a
-risk). Dispatch happens per call on ``jax.default_backend()`` — the same
-dynamic the ops' own impl="auto" ladders use.
+But raising the limit unconditionally is NOT free: the scoped-vmem A/B
+probe (scripts/probes/vmem_limit_probe.py, interleaved on-chip) measured
+the raised limit costing guided r8 ~15% (0.667 → 0.767 ms) and integral
+~3% — XLA schedules better against its default budget, parking fewer
+arrays. ``op_jit`` therefore compiles with DEFAULT options and falls back
+to the raised 64 MiB limit only when the compile actually fails with the
+vmem-stack overflow, caching that decision per wrapper so the retry cost
+is paid once.
 
 Callers that wrap tpuimg ops in their OWN jax.jit inline our jit (options
 dropped); such callers hitting the parking overflow must pass
@@ -28,6 +31,10 @@ import jax
 
 TPU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": 65536}
 
+# Signature of the XLA compile failure the raised limit fixes (full text:
+# "Ran out of memory in memory space vmem while allocating on stack ...").
+_VMEM_STACK_ERR = "memory space vmem"
+
 
 def _trace_state_clean() -> bool:
     """True when not inside any jax trace (i.e. a top-level call)."""
@@ -39,27 +46,46 @@ def _trace_state_clean() -> bool:
         return _core.trace_state_clean()
 
 
+def _vmem_fallback_call(state, plain, raised, args, kwargs):
+    """Call the current TPU variant; on the vmem-stack compile failure,
+    stick to the raised-limit variant and retry once."""
+    variant = state["tpu"]
+    try:
+        return variant(*args, **kwargs)
+    except Exception as e:  # noqa: BLE001 — filtered by message below
+        if variant is raised or _VMEM_STACK_ERR not in str(e):
+            raise
+        state["tpu"] = raised
+        return raised(*args, **kwargs)
+
+
 def op_jit(fn=None, *, static_argnames=()):
-    """``jax.jit`` with the TPU scoped-vmem fix; drop-in for the ops layer."""
+    """``jax.jit`` with the TPU scoped-vmem fallback; drop-in for the ops
+    layer."""
     if fn is None:
         return functools.partial(op_jit, static_argnames=static_argnames)
-    cpu = jax.jit(fn, static_argnames=static_argnames)
-    tpu = jax.jit(fn, static_argnames=static_argnames,
-                  compiler_options=TPU_COMPILER_OPTIONS)
+    plain = jax.jit(fn, static_argnames=static_argnames)
+    raised = jax.jit(fn, static_argnames=static_argnames,
+                     compiler_options=TPU_COMPILER_OPTIONS)
+    # which variant serves top-level TPU calls; flipped (sticky) on the
+    # first vmem-stack compile failure so every later call skips the
+    # failed compile attempt
+    state = {"tpu": plain}
 
     @functools.wraps(fn)
     def call(*args, **kwargs):
         # nested calls (one op jitted inside another, or a user's outer jit)
         # inline and drop compiler options — and jax REJECTS options on a
-        # nested jit — so the tpu variant is only used at top level
+        # nested jit — so compiler options only apply at top level
         top_level = _trace_state_clean()
-        variant = (tpu if top_level and jax.default_backend() != "cpu"
-                   else cpu)
-        return variant(*args, **kwargs)
+        if not (top_level and jax.default_backend() != "cpu"):
+            return plain(*args, **kwargs)
+        return _vmem_fallback_call(state, plain, raised, args, kwargs)
 
     def clear_cache():  # jax.jit wrapper API used by tests
-        cpu.clear_cache()
-        tpu.clear_cache()
+        plain.clear_cache()
+        raised.clear_cache()
+        state["tpu"] = plain
 
     call.clear_cache = clear_cache
     return call

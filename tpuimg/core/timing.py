@@ -93,13 +93,19 @@ def _frame_ring(x, min_bytes: int = 256 * 1024 * 1024, max_frames: int = 32):
 def time_stream_fn(fn, x, *, iters: int = 32, warmup_reps: int = 2,
                    name: str = "op", pixels: int | None = None,
                    sol_ms: float | None = None,
-                   consistency_tol: float = 0.25) -> BenchResult:
+                   consistency_tol: float = 0.25,
+                   jit_wrapper=None) -> BenchResult:
     """Streaming-throughput timing: see the module docstring for the protocol.
 
     ``fn(frame)`` must accept one array shaped like ``x``. Raises
     RuntimeError if the measurement is faster than ``sol_ms`` (physically
     impossible) or if the two independent fits disagree by more than
     ``consistency_tol`` (relative).
+
+    ``jit_wrapper`` overrides how the harness's top-level loop is jitted
+    (default: ``op_jit`` with its scoped-vmem fallback). Probes use it
+    to A/B compiler options — ``fn`` itself must then be un-jitted, since
+    options on a nested jit are rejected by jax.
     """
     frames, f = _frame_ring(x)
 
@@ -111,7 +117,9 @@ def time_stream_fn(fn, x, *, iters: int = 32, warmup_reps: int = 2,
     # harness (core/jit.py, round 3).
     from tpuimg.core.jit import op_jit
 
-    @op_jit()
+    wrap = op_jit() if jit_wrapper is None else jit_wrapper
+
+    @wrap
     def run(frames_arg, n):
         def body(i, c):
             xi = jax.lax.dynamic_index_in_dim(
