@@ -1,0 +1,95 @@
+"""Tiny-shape / extreme-parameter domain tests.
+
+The validators admit any h,w >= 1 (core/validate.py:38-40) while the
+randomized fuzz suite draws shapes >= 16 px — this locks the band below it.
+Full sweep evidence: scripts/probes/edge_domain_probe.py (727 cases over
+sizes {1,2,3,5,8,9,15}^2, radii up to max(h,w), constant/extreme content:
+0 crashes, 0 mismatches, 13 typed errors on genuinely invalid CLAHE grids).
+Reference analog: the CUDA demos never run below real-image sizes; the
+autoTestDemo floor is 64 px (Integral/main.cpp:193-194) — this suite goes
+below both.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import tpuimg
+from tpuimg.core.validate import TpuImgError
+from tpuimg.oracle import (
+    dilate_ref,
+    erode_ref,
+    gaussian_ref,
+    guided_filter_ref,
+    hist_equalize_ref,
+    integral_ref,
+)
+
+SIZES = [(1, 1), (1, 9), (9, 1), (2, 3), (3, 15), (8, 8)]
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(11)
+
+
+@pytest.mark.parametrize("h,w", SIZES)
+def test_integral_tiny(rng, h, w):
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    assert np.array_equal(np.asarray(tpuimg.integral(img)), integral_ref(img))
+
+
+@pytest.mark.parametrize("h,w", SIZES)
+def test_hist_equalize_tiny(rng, h, w):
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    assert np.array_equal(
+        np.asarray(tpuimg.hist_equalize(img)), hist_equalize_ref(img)
+    )
+
+
+@pytest.mark.parametrize("h,w", SIZES)
+def test_morphology_tiny_and_oversized_radius(rng, h, w):
+    """Radius >= image size: replicate border makes the window cover the
+    whole frame -> global min/max everywhere."""
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    r = max(h, w)
+    assert np.array_equal(np.asarray(tpuimg.erode(img, r)), erode_ref(img, r))
+    assert np.array_equal(np.asarray(tpuimg.dilate(img, 1)), dilate_ref(img, 1))
+
+
+@pytest.mark.parametrize("h,w", SIZES)
+def test_gaussian_tiny(rng, h, w):
+    img = rng.random((h, w), dtype=np.float32)
+    got = np.asarray(tpuimg.gaussian(img, 2, 1.0))
+    assert np.max(np.abs(got - gaussian_ref(img, 2, 1.0))) <= 1e-5
+
+
+@pytest.mark.parametrize("h,w", [(2, 3), (3, 15), (8, 8)])
+def test_guided_tiny(rng, h, w):
+    I = rng.random((h, w), dtype=np.float32)
+    got = np.asarray(tpuimg.guided_filter(I, I, 2, 1e-3))
+    assert np.max(np.abs(got - guided_filter_ref(I, I, 2, 1e-3))) <= 1e-4
+
+
+def test_constant_content():
+    """Degenerate content: constant frames (HE of a single gray level,
+    guided filter with zero variance + eps)."""
+    img = np.full((24, 40), 255, np.uint8)
+    assert np.array_equal(
+        np.asarray(tpuimg.hist_equalize(img)), hist_equalize_ref(img)
+    )
+    z = np.zeros((24, 40), np.uint8)
+    assert np.array_equal(np.asarray(tpuimg.hist_equalize(z)),
+                          hist_equalize_ref(z))
+    f = np.full((24, 40), 0.5, np.float32)
+    got = np.asarray(tpuimg.guided_filter(f, f, 2, 1e-3))
+    assert np.max(np.abs(got - guided_filter_ref(f, f, 2, 1e-3))) <= 1e-4
+
+
+def test_clahe_tiny_grid_raises_typed():
+    """Grids the reflect bound cannot pad raise ParamError, never crash
+    (matches the reference's dLimitSize validity bound)."""
+    img = np.zeros((3, 3), np.uint8)
+    with pytest.raises(TpuImgError):
+        tpuimg.clahe(img, 4.0, 8, 8)
