@@ -66,7 +66,10 @@ def gaussian_ypadded(p, radius: int, sigma: float, impl: str = "auto"):
 
 @op_jit(static_argnames=("radius", "sigma", "impl"))
 def gaussian(img, radius: int, sigma: float, impl: str = "auto"):
-    """Gaussian blur of a float32 image (..., H, W), reflect-101 border.
+    """Gaussian blur of a float image (..., H, W), reflect-101 border;
+    float32 result. uint8 input is accepted and promoted (blur of the raw
+    0..255 values) — the reference instead pre-scales u8 images by 1/255 on
+    the host (gaussian.cu:436), which callers can do with ``img / 255``.
 
     Matches reference output of every kernel in the gaussian.cu ladder.
 
@@ -80,7 +83,11 @@ def gaussian(img, radius: int, sigma: float, impl: str = "auto"):
 
     check_radius(radius)
     check_impl(impl)
-    h, w = check_image(img, "img")
+    # same accepted set as guided_filter (ops/guided.py:205): floats, plus
+    # u8 promoted; anything else (bool masks, i32 integral images passed by
+    # mistake, complex) is rejected rather than silently blurred
+    h, w = check_image(img, "img",
+                       dtypes=[jnp.float32, jnp.float64, jnp.uint8])
     if impl == "auto":
         impl = ("pallas" if jax.default_backend() != "cpu"
                 and min(h, w) > radius else "xla")

@@ -221,13 +221,21 @@ def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
 
     impl="auto": the bilinear mapping runs as the lane-dynamic-gather Pallas
     kernel (kernels/lut.py) on TPU, or the one-hot einsum form on CPU."""
-    from tpuimg.core.validate import ShapeError, check_image, check_impl
+    from tpuimg.core.validate import (
+        ShapeError, check_image, check_impl, check_positive, check_radius)
 
     img = jnp.asarray(img)
     # uint8 only — a silent jnp.asarray(img, uint8) would turn a [0,1] float
     # image into near-zeros (same contract as hist_equalize)
     check_image(img, "img", dtypes=[jnp.uint8])
     check_impl(impl)
+    # tile counts must be ints >= 1 (0 divides by zero, floats break the
+    # shift-based centered-pad math); clip <= 0 would drive the per-tile
+    # limit negative and the CDF with it (the reference demo never guards
+    # its argv here — we fail typed instead of producing garbage LUTs)
+    check_radius(xtiles, name="xtiles")
+    check_radius(ytiles, name="ytiles")
+    check_positive(clip_limit, "clip_limit")
     if img.ndim != 2:
         raise ShapeError(
             f"clahe operates on a single (H, W) image, got shape "

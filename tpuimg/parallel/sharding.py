@@ -260,8 +260,15 @@ def clahe_sharded(mesh: Mesh, clip_limit: float, xtiles: int, ytiles: int):
     with global row coordinates.
     """
     from tpuimg.core.layout import cdiv
+    from tpuimg.core.validate import check_positive, check_radius
     from tpuimg.kernels.onehot import onehot_nibbles
     from tpuimg.ops.histogram import _clip_redistribute
+
+    # same parameter contract as the local op (ops/histogram.py): tile
+    # counts are ints >= 1, clip_limit > 0 — fail typed at factory build
+    check_radius(xtiles, name="xtiles")
+    check_radius(ytiles, name="ytiles")
+    check_positive(clip_limit, "clip_limit")
 
     n_sp = mesh.shape["sp"]
 
