@@ -32,7 +32,7 @@ run() {
 
 echo "START $(date -u) deadline=$deadline" >> "$log"
 for cycle in $(seq 0 80); do
-  seed=$((5000 + cycle))
+  seed=$(( ${SEED_BASE:-5000} + cycle ))
   run integral-autotest --bucket 512 --runs 30 --seed "$seed"
   case $((cycle % 6)) in
     0) run he-autotest       --bucket 512 --runs 6 --seed "$seed" ;;
