@@ -13,27 +13,41 @@ BOTH scan directions run as triangular matmuls on the MXU, none on the VPU:
   are bf16-exact; DEFAULT-precision f32 operands are truncated to bf16 *in
   the MXU pipeline*, so no explicit convert op is paid), plus a tiny
   HIGHEST-precision cross-tile carry matmul (exact: values < 2^20 < 2^24);
-- columns: the in-band column prefix is L @ r with L lower-triangular ones.
-  Band column sums reach 2^22, but DEFAULT-precision matmuls truncate
-  operands to bf16 (8 mantissa bits), so the row-scanned values are split
-  into bf16-exact halves hi = ⌊r/256⌋ < 2^7 and lo = r − 256·hi < 2^8 and
-  scanned by two DEFAULT matmuls (partial sums < 2^22 stay f32-exact);
+  the row pass covers the WHOLE grid block at once (one big MXU matmul).
+- columns: the in-sub-band column prefix is L @ r with L lower-triangular
+  ones. Sub-band column sums reach 2^21, but DEFAULT-precision matmuls
+  truncate operands to bf16 (8 mantissa bits), so the row-scanned values are
+  split into bf16-exact halves hi = ⌊r/256⌋ < 2^7 and lo = r − 256·hi < 2^8
+  and scanned by two DEFAULT matmuls (partial sums < 2^21 stay f32-exact);
   recombined with one FMA, still f32-exact.  The cross-tile carry (< W·255,
   up to 2^21 at 8K) is column-scanned separately — by linearity
   colscan(intile + tc) = colscan(intile) + colscan(tc) — as a low-12-bit /
-  high-part pair of HIGHEST-precision matmuls on the tiny (band, ntiles)
+  high-part pair of HIGHEST-precision matmuls on the tiny (sub, ntiles)
   array (HIGHEST on both: the high part exceeds the bf16-exact 2^8 beyond
   width 4224, so a DEFAULT matmul there silently corrupts wide frames).
+- **sub-banded blocks** (round 3, probe r3l): each grid block holds k
+  sub-bands of ``_SUB = 24`` rows, column-scanned SEQUENTIALLY through an
+  in-register i32 carry. This decouples the two costs the old single-band
+  form tied together: column-matmul FLOPs scale as sub·block (not block²)
+  while the sequential grid shrinks k-fold (45 → 9 steps at 4K). The old
+  form's band sweep hit its optimum at 48 (32: 0.172, 48: 0.148-0.160,
+  64: 0.165, 96: 0.174 ms) precisely because band² FLOPs beat the saved
+  per-step overhead; sub-banding removes the trade-off. Probe grid
+  (r3l, same session, shipped anchor 0.157-0.160): sub24 × block
+  {120,144,216,240} = 0.1426-0.1447 ms, sub16/sub8 at block ≥144 equal,
+  sub4 worse (0.155, carry-chain latency), block 96 worse (0.164-0.170),
+  block 432 fails to compile (Mosaic remote-compile 500).
 - the running cross-band carry lives in a (1, W) VMEM scratch across the
   sequential band grid — the reference's "scan of tile carries" at band
   radix, with zero extra HBM traffic.
 
 HBM traffic = one u8 read + one i32 write.  Measured (honest streaming
-protocol, v5e 4K): 0.148-0.160 ms = 52-56 GPix/s = ~4x the reference's CUDA
+protocol, v5e 4K): 0.143 ms = 58 GPix/s = 4.2x the reference's CUDA
 pipeline (0.597 ms, Integral/readme.md:23); round-2 shape was 0.182 ms, the
-round-3 gains are the fused [256L|L] column matmul and the repeat-broadcast
-(probes integral_r3e/r3h).  Band 48 measured fastest (repeat-broadcast form:
-32: 0.172, 48: 0.148-0.160, 64: 0.165, 96: 0.174 ms; run-to-run ±5%).
+round-3 gains are the fused [256L|L] column matmul + repeat-broadcast
+(probes r3e/r3h, 0.182 → 0.148-0.165) and the sub-banded blocks (probe
+r3l, → 0.143). Block selection is width-aware (``_pick_k``): block·W is
+capped at the measured-good VMEM point and k prefers zero padding.
 
 Measured dead ends (scripts/probes/integral_mxu_col_probe.py and
 integral_r3*_probe.py) — don't re-try without new evidence:
@@ -95,7 +109,20 @@ from tpuimg.core.layout import pad_to_multiple
 from tpuimg.kernels import interpret_mode
 from tpuimg.core.jit import op_jit
 
-_COL_BAND = 48  # fused-scan band rows (sweep: fastest at 4K, see docstring)
+_SUB = 24        # column-scan sub-band rows (probe r3l, see docstring)
+_MAX_BLOCK_PX = 240 * 3840  # measured-good VMEM point for block·W (r3l L14)
+
+
+def _pick_k(h: int, wp: int) -> int:
+    """Sub-bands per grid block: minimize row padding, then maximize the
+    block (fewer sequential steps), under the block·W VMEM cap."""
+    kmax = max(1, min(10, _MAX_BLOCK_PX // (_SUB * wp)))
+    best_hp, best_k = None, 1
+    for k in range(1, kmax + 1):
+        hp = -(-h // (_SUB * k)) * (_SUB * k)
+        if best_hp is None or hp < best_hp or (hp == best_hp):
+            best_hp, best_k = hp, k
+    return best_k
 
 _HI = jax.lax.Precision.HIGHEST
 _ARGS = (((1,), (0,)), ((), ()))
@@ -108,7 +135,7 @@ def _tri(n, strict, dtype):
     return ((a < b) if strict else (b <= a)).astype(dtype)
 
 
-def _fused_scan_kernel(x_ref, o_ref, carry):
+def _fused_scan_kernel(x_ref, o_ref, carry, *, k):
     """Full 2D scan in one HBM pass (see module docstring)."""
     i = pl.program_id(0)
 
@@ -116,9 +143,11 @@ def _fused_scan_kernel(x_ref, o_ref, carry):
     def _():
         carry[:] = jnp.zeros_like(carry)
 
-    rows, wp = o_ref.shape
+    rows, wp = o_ref.shape  # rows == sub · k
+    sub = rows // k
     nt = wp // 128
-    # row pass: in-tile prefix on the MXU (u8 -> bf16 exact in hardware)
+    # row pass, whole block at once: in-tile prefix on the MXU (u8 -> bf16
+    # exact in hardware)
     x = x_ref[:].astype(jnp.int32).astype(jnp.float32).reshape(rows * nt, 128)
     U = jnp.transpose(_tri(128, strict=False, dtype=jnp.float32))
     intile = jax.lax.dot_general(
@@ -126,49 +155,61 @@ def _fused_scan_kernel(x_ref, o_ref, carry):
     ).reshape(rows, nt, 128)
     # cross-tile row carry (exclusive; values < 2^20 exact under HIGHEST)
     totals = intile[:, :, 127]
-    tc = jax.lax.dot_general(
+    tc_all = jax.lax.dot_general(
         totals, _tri(nt, strict=True, dtype=jnp.float32), _ARGS,
         precision=_HI, preferred_element_type=jnp.float32,
     )
-    # column pass: two bf16-exact halves through ONE DEFAULT triangular
-    # matmul — the x256 recombine is folded into the weight matrix
-    # [256·L | L] @ [hi; lo], so the separate shi·256+slo FMA (and a second
-    # matmul launch) disappears (round 3, probe r3e: part of the
-    # 0.182→0.148 ms win). Partial sums < 2^22 stay f32-exact.
+    # split into bf16-exact halves once for the whole block (elementwise,
+    # per-row — independent of the sub-band structure below)
     f = intile.reshape(rows, wp)
-    hi = jnp.floor(f * (1.0 / 256.0))   # < 2^7
-    lo = f - hi * 256.0                 # < 2^8
-    L = _tri(rows, strict=False, dtype=jnp.float32)
+    hi_all = jnp.floor(f * (1.0 / 256.0))   # < 2^7
+    lo_all = f - hi_all * 256.0             # < 2^8
+
+    L = _tri(sub, strict=False, dtype=jnp.float32)
     W2 = jnp.concatenate([L * 256.0, L], axis=1)
-    hl = jnp.concatenate([hi, lo], axis=0)
-    s2d = jax.lax.dot_general(W2, hl, _ARGS,
-                              preferred_element_type=jnp.float32)
-    # column scan of the tiny carry, split 12 low bits / the rest. BOTH
-    # matmuls run HIGHEST precision: tc < W·255 (2^21 at 8K), so the high
-    # part reaches 2^9 — beyond the bf16-exact 2^8 a DEFAULT matmul
-    # truncates operands to (silent corruption for widths > 4224, caught in
-    # round-2 review). Exactness now holds while tc itself stays f32-exact,
-    # i.e. W·255 < 2^24 → W ≤ ~65K; (band, W) VMEM blocks stop compiling
-    # near W≈20K anyway, so the arithmetic bound is not the binding one —
-    # but a column-strip variant would have to revisit it.
-    th = jnp.floor(tc * (1.0 / 4096.0))
-    tl = tc - th * 4096.0
     # wp is static: th = floor(tc/4096) < wp·255/4096 stays bf16-exact
     # (≤ 256) for wp ≤ 4096, where the cheaper DEFAULT matmul is safe —
     # measured ~3% of the op at 4K. Wider frames pay HIGHEST.
     hi_prec = None if wp <= 4096 else _HI
-    sth = jax.lax.dot_general(L, th, _ARGS, precision=hi_prec,
-                              preferred_element_type=jnp.float32)
-    stl = jax.lax.dot_general(L, tl, _ARGS, precision=_HI,
-                              preferred_element_type=jnp.float32)
-    tc2d = (sth.astype(jnp.int32) << 12) + stl.astype(jnp.int32)
-    # broadcast carries to lanes via jnp.repeat — the 3D reshape-add form
-    # ((rows,nt,128) + tc2d[:,:,None]) forced a Mosaic relayout worth
-    # ~30 us/frame at 4K (round 3, probe r3e V1-vs-V7)
-    tcw = jnp.repeat(tc2d, 128, axis=1)
-    s = s2d.astype(jnp.int32) + tcw + carry[:]
-    o_ref[:] = s
-    carry[:] = s[rows - 1:, :]
+
+    # k sub-bands column-scanned sequentially through an i32 carry (probe
+    # r3l): column FLOPs stay at sub·rows·W while the sequential grid
+    # shrinks k-fold vs the single-band form.
+    cur = carry[:]
+    for j in range(k):
+        r0 = j * sub
+        # column pass: two bf16-exact halves through ONE DEFAULT triangular
+        # matmul — the x256 recombine is folded into the weight matrix
+        # [256·L | L] @ [hi; lo], so the separate shi·256+slo FMA (and a
+        # second matmul launch) disappears (round 3, probe r3e). Partial
+        # sums < 2^21 stay f32-exact.
+        hl = jnp.concatenate([hi_all[r0:r0 + sub], lo_all[r0:r0 + sub]],
+                             axis=0)
+        s2d = jax.lax.dot_general(W2, hl, _ARGS,
+                                  preferred_element_type=jnp.float32)
+        # column scan of the tiny carry, split 12 low bits / the rest. BOTH
+        # matmuls run HIGHEST precision beyond width 4224: tc < W·255 (2^21
+        # at 8K), so the high part reaches 2^9 — beyond the bf16-exact 2^8
+        # a DEFAULT matmul truncates operands to (silent corruption for
+        # wide frames, caught in round-2 review). Exactness holds while tc
+        # itself stays f32-exact, i.e. W·255 < 2^24 → W ≤ ~65K; (block, W)
+        # VMEM blocks stop compiling far earlier anyway.
+        tc = tc_all[r0:r0 + sub]
+        th = jnp.floor(tc * (1.0 / 4096.0))
+        tl = tc - th * 4096.0
+        sth = jax.lax.dot_general(L, th, _ARGS, precision=hi_prec,
+                                  preferred_element_type=jnp.float32)
+        stl = jax.lax.dot_general(L, tl, _ARGS, precision=_HI,
+                                  preferred_element_type=jnp.float32)
+        tc2d = (sth.astype(jnp.int32) << 12) + stl.astype(jnp.int32)
+        # broadcast carries to lanes via jnp.repeat — the 3D reshape-add
+        # form ((sub,nt,128) + tc2d[:,:,None]) forced a Mosaic relayout
+        # worth ~30 us/frame at 4K (round 3, probe r3e V1-vs-V7)
+        tcw = jnp.repeat(tc2d, 128, axis=1)
+        s = s2d.astype(jnp.int32) + tcw + cur
+        o_ref[r0:r0 + sub, :] = s
+        cur = s[sub - 1:sub, :]
+    carry[:] = cur
 
 
 @op_jit()
@@ -176,13 +217,15 @@ def integral_pallas(img):
     """Inclusive 2D prefix sum of a (H, W) uint8 image, int32."""
     if img.ndim != 2:
         return jax.vmap(integral_pallas)(img)
-    x, (h, w) = pad_to_multiple(jnp.asarray(img), _COL_BAND, 128,
-                                mode="constant")
+    img = jnp.asarray(img)
+    h, w = img.shape
+    k = _pick_k(h, -(-w // 128) * 128)
+    x, (h, w) = pad_to_multiple(img, _SUB * k, 128, mode="constant")
     hp, wp = x.shape
-    band = min(_COL_BAND, hp)
+    band = min(_SUB * k, hp)
 
     out = pl.pallas_call(
-        _fused_scan_kernel,
+        functools.partial(_fused_scan_kernel, k=k),
         grid=(hp // band,),
         in_specs=[
             pl.BlockSpec((band, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
