@@ -25,8 +25,8 @@ from tpuimg.core.jit import op_jit
 def integral(img, impl: str = "auto"):
     """Inclusive 2D prefix sum over the trailing two dims; int32 result.
 
-    impl="auto" picks the all-MXU Pallas scan on TPU (0.18 ms at 4K on v5e
-    vs 0.27 ms for the XLA cumsum form, compare_impls.log) and XLA
+    impl="auto" picks the all-MXU Pallas scan on TPU (0.142 ms at 4K on
+    v5e vs ~0.27 ms for the XLA cumsum form, kernels/scan2d.py) and XLA
     elsewhere; non-uint8 integers always take the exact XLA path.
     """
     from tpuimg.core.validate import DTypeError, check_image, check_impl
