@@ -21,6 +21,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -116,8 +117,15 @@ def _autotest(args, run_one, tag, tol: float = 0.0):
     float/quantized ops pass `tol` (e.g. 1 gray step for CLAHE)."""
     rng = np.random.default_rng(args.seed)
     failures = 0
+    done = 0
+    deadline = getattr(args, "deadline", 0)
     with open("res.log", "a") as log:
-        for i in range(args.runs):
+        for _ in range(args.runs):
+            if deadline and time.time() >= deadline:
+                # cooperative stop between runs: a TPU process must never
+                # be signal-killed mid-run (wedges the device lease ~10 min)
+                print(f"deadline reached after {done} runs", flush=True)
+                break
             h = int(rng.integers(64, args.max_size))
             w = int(rng.integers(64, args.max_size))
             desc, diff = run_one(rng, h, w)
@@ -127,8 +135,9 @@ def _autotest(args, run_one, tag, tol: float = 0.0):
             log.write(line + "\n")
             log.flush()
             failures += diff > tol
+            done += 1
     word = "exact" if tol == 0 else f"within {tol:g}"
-    print(f"{args.runs - failures}/{args.runs} {word}")
+    print(f"{done - failures}/{done} {word}")
     return failures == 0
 
 
@@ -202,6 +211,13 @@ def cmd_morph_autotest(args):
         h, w, bdesc = _bucket_shape(args, h, w)
         img = rng.integers(0, 256, (h, w), dtype=np.uint8)
         r = int(rng.integers(1, args.max_radius + 1))
+        if args.bucket:
+            # radius is a static arg (fresh Mosaic compile per value); in
+            # bucketed mode snap the draw onto a ladder spanning all three
+            # dispatch regimes (fused strip / van Herk / large-r) so the
+            # persistent cache can serve reference-scale run counts
+            ladder = (1, 2, 4, 7, 12, 20, 31)
+            r = max(v for v in ladder if v <= max(r, 1))
         if rng.integers(2):
             diff = _maxdiff(tpuimg.dilate(img, r), dilate_ref(img, r))
             return f"-dilate r{r}{bdesc}", diff
@@ -224,9 +240,14 @@ def cmd_clahe_autotest(args):
         yt = int(rng.integers(2, 9))
         clip = float(rng.uniform(1.0, 60.0))
         if args.bucket:
-            # clip_limit is a static arg (fresh compile per value); in
-            # bucketed mode draw it from a ladder so the cache can serve
-            ladder = (1.0, 2.0, 4.0, 8.0, 20.0, 40.0, 60.0)
+            # clip_limit AND the tile grid are static args (fresh compile
+            # per combo); in bucketed mode draw all three from ladders so
+            # the program space stays small enough for the persistent
+            # cache to serve reference-scale run counts (the unbucketed
+            # path keeps the full random param space)
+            grids = ((2, 2), (4, 4), (8, 8), (3, 5), (6, 6))
+            xt, yt = grids[int(rng.integers(len(grids)))]
+            ladder = (2.0, 4.0, 40.0)
             clip = ladder[int(rng.integers(len(ladder)))]
         # centered padding must satisfy the dLimitSize reflect bound
         # (ops/histogram geometry validation); skip invalid grid draws
@@ -252,10 +273,12 @@ def cmd_gaussian_autotest(args):
         r = int(rng.integers(1, 8))
         sigma = float(rng.uniform(0.5, 3.0))
         if args.bucket:
-            # sigma is a static arg (fresh compile per value); ladder it in
-            # bucketed mode so the cache can serve (same as clahe's clip)
-            ladder = (0.5, 1.0, 1.5, 2.0, 3.0)
-            sigma = ladder[int(rng.integers(len(ladder)))]
+            # (r, sigma) are static args (fresh compile per pair); in
+            # bucketed mode snap onto a joint ladder covering every radius
+            # so the program space is 7·buckets, not 35·buckets
+            pairs = ((1, 0.5), (2, 1.0), (3, 1.5), (4, 1.0),
+                     (5, 2.0), (6, 3.0), (7, 2.0))
+            r, sigma = pairs[r - 1]
         got = tpuimg.gaussian(img, r, sigma)
         return (f"-gauss r{r} s{sigma:g}{bdesc}",
                 _maxdiff(got, gaussian_ref(img, r, sigma)))
@@ -272,6 +295,11 @@ def cmd_guided_autotest(args):
         I = rng.random((h, w), dtype=np.float32)
         p = rng.random((h, w), dtype=np.float32)
         r = int(rng.integers(1, 17))
+        if args.bucket:
+            # radius is a static arg; ladder it in bucketed mode (covers
+            # the r1-16 fused ladder endpoints + the mid rungs)
+            ladder = (1, 2, 3, 4, 8, 12, 16)
+            r = max(v for v in ladder if v <= r)
         if min(h, w) <= 2 * r:  # fused-path geometry bound
             r = max(1, min(h, w) // 2 - 1)
         got = tpuimg.guided_filter(I, p, r, 1e-3, border="reflect101")
@@ -586,6 +614,9 @@ def main(argv=None):
     # 0 = off; 512 keeps the compiled-program count near 12x12 over the
     # default [64, 6000) range (see cmd_integral_autotest docstring)
     a.add_argument("--bucket", type=int, default=0)
+    # cooperative stop (epoch seconds), checked between runs — never
+    # signal-kill a TPU process (verify skill: wedges the lease ~10 min)
+    a.add_argument("--deadline", type=int, default=0)
     a.set_defaults(fn=cmd_integral_autotest)
 
     ah = sub.add_parser("he-autotest")
@@ -593,6 +624,7 @@ def main(argv=None):
     ah.add_argument("--max-size", type=int, default=6000)
     ah.add_argument("--seed", type=int, default=0)
     ah.add_argument("--bucket", type=int, default=0)
+    ah.add_argument("--deadline", type=int, default=0)
     ah.set_defaults(fn=cmd_he_autotest)
 
     am = sub.add_parser("morph-autotest")
@@ -601,6 +633,7 @@ def main(argv=None):
     am.add_argument("--max-radius", type=int, default=31)
     am.add_argument("--seed", type=int, default=0)
     am.add_argument("--bucket", type=int, default=0)
+    am.add_argument("--deadline", type=int, default=0)
     am.set_defaults(fn=cmd_morph_autotest)
 
     for nm, fun, mx in [("clahe-autotest", cmd_clahe_autotest, 4000),
@@ -611,6 +644,7 @@ def main(argv=None):
         ax.add_argument("--max-size", type=int, default=mx)
         ax.add_argument("--seed", type=int, default=0)
         ax.add_argument("--bucket", type=int, default=0)
+        ax.add_argument("--deadline", type=int, default=0)
         ax.set_defaults(fn=fun)
 
     e = sub.add_parser("he")
