@@ -65,6 +65,13 @@ def main():
         ("guided_r8_4k",
          lambda x: tpuimg.guided_filter(x, x, 8, 1e-3, border="reflect101"),
          img4k_f, PIX4K, 16, sol_ms(2 * MB4K_F32)),  # I==p: one read + write
+        # general path: distinct guide/source, all 6 window ladders (the
+        # reference demo's src != guide protocol, GuidedFilter/main.cpp:178)
+        ("guided_r8_4k_general",
+         lambda s: tpuimg.guided_filter(s[0], s[1], 8, 1e-3,
+                                        border="reflect101"),
+         jnp.stack([img4k_f, img4k_f[::-1]]), PIX4K, 16,
+         sol_ms(3 * MB4K_F32)),  # read I + read p + write q
         # morph_open = the fused single-pass open kernel (round 2); pixels
         # count both stages like the reference would launch them
         ("morph_31x31_4k_batch2", lambda x: tpuimg.morph_open(x, 15),

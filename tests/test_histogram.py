@@ -97,3 +97,21 @@ def test_apply_lut_wide_integer_tables():
     ]:
         out = np.asarray(apply_lut(table, img))
         np.testing.assert_array_equal(out, table[img.ravel()].reshape(16, 16))
+
+
+def test_vmap_clahe_batches(rng):
+    """The ShapeError message advertises jax.vmap(tpuimg.clahe) for batches
+    — verify it actually works for both mapping impls (VERDICT r3 item 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    import tpuimg
+    from tpuimg.oracle import clahe_ref
+
+    imgs = rng.integers(0, 256, (3, 100, 140), dtype=np.uint8)
+    refs = np.stack([clahe_ref(imgs[i], 30.0, 5, 3) for i in range(3)])
+    for impl in ("pallas", "xla"):
+        out = np.asarray(jax.vmap(
+            lambda v: tpuimg.clahe(v, 30.0, 5, 3, impl=impl)
+        )(jnp.asarray(imgs)))
+        assert np.abs(out.astype(int) - refs.astype(int)).max() <= 1, impl

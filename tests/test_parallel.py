@@ -161,3 +161,23 @@ def test_sharded_ops_validate_inputs(rng, mesh):
         guided_filter_sharded(mesh, 0, 1e-3)
     with pytest.raises(ValueError):
         shard_rows(mesh, rng.integers(0, 256, (3, 16, 64), dtype=np.uint8))
+
+
+def test_clahe_sharded_arbitrary_rows(rng, mesh):
+    # H=70 does NOT divide over sp=4 (VERDICT r3 item 7): the factory pads
+    # rows to a shard multiple, masks pad rows out of every tile histogram,
+    # and crops the mapped output
+    import jax.numpy as jnp
+
+    from tpuimg import clahe
+
+    for h, grid in [(70, (4, 4)), (45, (3, 5))]:
+        img = rng.integers(0, 256, (h, 96), dtype=np.uint8)
+        op = clahe_sharded(mesh, 4.0, *grid)
+        # an uneven H cannot be row-sharded by the caller — pass the frame
+        # with default sharding; the factory pads and shard_map distributes
+        out = np.asarray(jax.jit(op)(jnp.asarray(img)))
+        ref = np.asarray(clahe(img, 4.0, *grid, impl="xla"))
+        assert out.shape == ref.shape
+        d = np.abs(out.astype(int) - ref.astype(int)).max()
+        assert d <= 1, (h, grid, d)

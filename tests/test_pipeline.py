@@ -15,10 +15,10 @@ from tpuimg.utils import imwrite
 
 
 def test_enhance_matches_composed_stages(rng):
-    """enhance == clahe -> gaussian -> guided_filter -> u8, composed by hand
-    from the public ops (same impls/backend)."""
+    """enhance(impl="staged") == clahe -> gaussian -> guided_filter -> u8,
+    composed by hand from the public ops (same impls/backend)."""
     img = rng.integers(0, 256, (72, 96), dtype=np.uint8)
-    out = np.asarray(enhance(img))
+    out = np.asarray(enhance(img, impl="staged"))
 
     eq = tpuimg.clahe(img, 2.0, 8, 8)
     f = np.asarray(eq).astype(np.float32) / 255.0
@@ -27,6 +27,15 @@ def test_enhance_matches_composed_stages(rng):
                                         border="reflect101"))
     ref = np.clip(np.rint(q * 255.0), 0, 255).astype(np.uint8)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_enhance_fused_within_one_step_of_staged(rng):
+    """The default fused path (f32 CLAHE bridge, no inter-stage u8
+    round-trip) stays within 1 gray level of the staged composition."""
+    img = rng.integers(0, 256, (72, 96), dtype=np.uint8)
+    fused = np.asarray(enhance(img)).astype(int)
+    staged = np.asarray(enhance(img, impl="staged")).astype(int)
+    assert np.abs(fused - staged).max() <= 1
 
 
 def test_enhance_shape_dtype_and_params(rng):

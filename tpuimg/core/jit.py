@@ -26,6 +26,7 @@ dropped); such callers hitting the parking overflow must pass
 from __future__ import annotations
 
 import functools
+import threading
 
 import jax
 
@@ -33,7 +34,10 @@ TPU_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": 65536}
 
 # Signature of the XLA compile failure the raised limit fixes (full text:
 # "Ran out of memory in memory space vmem while allocating on stack ...").
-_VMEM_STACK_ERR = "memory space vmem"
+# Matching the full stack-allocation phrase (not just "memory space vmem")
+# keeps runtime vmem exhaustion — which the raised limit cannot fix — from
+# triggering a wasted second compile (round-3 advisor finding).
+_VMEM_STACK_ERR = "while allocating on stack"
 
 
 def _trace_state_clean() -> bool:
@@ -46,16 +50,38 @@ def _trace_state_clean() -> bool:
         return _core.trace_state_clean()
 
 
+def _sig_key(args, kwargs):
+    """Hashable (shapes, dtypes, statics) key: which compiled program a
+    call maps to. Array-likes reduce to (shape, dtype); everything else
+    (static args) is kept by repr so unhashable values can't break it."""
+    def one(v):
+        shp = getattr(v, "shape", None)
+        if shp is not None:
+            return ("arr", tuple(shp), str(getattr(v, "dtype", "?")))
+        return ("static", repr(v))
+
+    return (tuple(one(a) for a in args),
+            tuple(sorted((k, one(v)) for k, v in kwargs.items())))
+
+
 def _vmem_fallback_call(state, plain, raised, args, kwargs):
-    """Call the current TPU variant; on the vmem-stack compile failure,
-    stick to the raised-limit variant and retry once."""
-    variant = state["tpu"]
+    """Call the plain-options variant; on the vmem-stack compile failure,
+    retry with the raised-limit variant and remember the decision — keyed
+    per call signature, so one oversized shape doesn't tax every other
+    shape of the op with the raised limit's ~15% penalty (round-3 advisor
+    finding; the measured cost lives in docs/PERFORMANCE.md)."""
+    key = _sig_key(args, kwargs)
+    with state["lock"]:
+        use_raised = key in state["raised_sigs"]
+    if use_raised:
+        return raised(*args, **kwargs)
     try:
-        return variant(*args, **kwargs)
+        return plain(*args, **kwargs)
     except Exception as e:  # noqa: BLE001 — filtered by message below
-        if variant is raised or _VMEM_STACK_ERR not in str(e):
+        if _VMEM_STACK_ERR not in str(e):
             raise
-        state["tpu"] = raised
+        with state["lock"]:
+            state["raised_sigs"].add(key)
         return raised(*args, **kwargs)
 
 
@@ -67,10 +93,10 @@ def op_jit(fn=None, *, static_argnames=()):
     plain = jax.jit(fn, static_argnames=static_argnames)
     raised = jax.jit(fn, static_argnames=static_argnames,
                      compiler_options=TPU_COMPILER_OPTIONS)
-    # which variant serves top-level TPU calls; flipped (sticky) on the
-    # first vmem-stack compile failure so every later call skips the
-    # failed compile attempt
-    state = {"tpu": plain}
+    # signatures that needed the raised limit; sticky per (shapes, statics)
+    # so later calls with the same signature skip the failed compile. The
+    # lock guards concurrent first calls from racing the set mutation.
+    state = {"raised_sigs": set(), "lock": threading.Lock()}
 
     @functools.wraps(fn)
     def call(*args, **kwargs):
@@ -85,7 +111,8 @@ def op_jit(fn=None, *, static_argnames=()):
     def clear_cache():  # jax.jit wrapper API used by tests
         plain.clear_cache()
         raised.clear_cache()
-        state["tpu"] = plain
+        with state["lock"]:
+            state["raised_sigs"].clear()
 
     call.clear_cache = clear_cache
     return call

@@ -9,6 +9,8 @@ free under jit.
 
 from __future__ import annotations
 
+import numbers
+
 import jax.numpy as jnp
 import numpy as _np
 
@@ -55,7 +57,10 @@ def check_radius(radius: int, lo: int = 1, name: str = "radius"):
 
 
 def check_positive(value, name: str):
-    if value <= 0:
+    # `not (value > 0)` (rather than `value <= 0`) so NaN — for which every
+    # comparison is False — fails typed instead of crashing downstream with
+    # an untyped float->int error (round-3 advisor finding)
+    if not isinstance(value, numbers.Real) or not (value > 0):
         raise ParamError(f"{name} must be positive, got {value!r}")
 
 

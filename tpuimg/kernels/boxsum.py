@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpuimg.core.borders import REFLECT101, pad_mode
 from tpuimg.core.jit import op_jit
+from tpuimg.core.kernelgen import gaussian_kernel_1d
 from tpuimg.core.layout import cdiv, round_up
 from tpuimg.kernels import interpret_mode
 from tpuimg.kernels.sep_stencil import _x_extend
@@ -289,6 +290,120 @@ def _guided_strip_onepass(Iseg, pseg, r: int, eps: float):
     return q[:h, :w_out]
 
 
+
+
+def _enhance_tail_strip(fseg, rg: int, weights, r: int, eps: float):
+    """Fused gaussian+guided band kernel on one x-halo'd strip (round 4).
+
+    The enhance pipeline's tail is ``q = guided(I=f, p=gauss(f))``. Staged,
+    that is an XLA gaussian pass (full HBM read+write) plus the general
+    6-stream guided kernel reading BOTH f and smooth. Here ONE band kernel
+    reads f with a (2r + rg)-deep halo, recomputes smooth = separable
+    gaussian in VMEM on the halo extent (the same halo-recompute trick the
+    one-pass guided kernel uses for a/b), and runs the full guided chain —
+    smooth never exists in HBM at all. Reference precedent for cross-stage
+    fusion: the gCalcAB fused chain, GuidedFilter/guided_filter_d.cu:421-858.
+
+    ``fseg`` is (h, w_in) with w_in = w_out + 2*(2r + rg) halo columns.
+    """
+    h, w_in = fseg.shape
+    ksz = 2 * r + 1
+    coef = 1.0 / (ksz * ksz)
+    hb2 = 2 * r + rg                 # total halo depth per side, both axes
+    w_out = w_in - 2 * hb2
+    wout_l = round_up(w_out, 128)
+    wab_l = wout_l + 2 * r
+    wp = round_up(wout_l + 2 * hb2, 128)
+    hb = round_up(hb2, 8)
+    band = round_up(max(_pick_band(h, wp) * 2, hb), hb)
+    hp = round_up(h, band)
+    rows_ab = band + 2 * r
+    R_old = band + 4 * r             # extent the guided chain consumes
+    W_old = wout_l + 4 * r
+    w = [float(v) for v in weights]
+
+    def concat3(top, cur, bot):
+        return jnp.concatenate(
+            [top[hb - hb2 :], cur, bot[:hb2]], axis=0
+        )  # (band + 2*hb2, wp)
+
+    def sepgauss(Fv):
+        """smooth on the (R_old, W_old) extent, offset rg into Fv."""
+        acc = w[rg] * Fv[rg : rg + R_old]
+        for k in range(1, rg + 1):
+            acc = acc + w[rg - k] * (
+                Fv[rg - k : rg - k + R_old] + Fv[rg + k : rg + k + R_old])
+        out = w[rg] * acc[:, rg : rg + W_old]
+        for k in range(1, rg + 1):
+            out = out + w[rg - k] * (
+                acc[:, rg - k : rg - k + W_old]
+                + acc[:, rg + k : rg + k + W_old])
+        return out
+
+    def mean(x):
+        return _ysum(_xsum(x, ksz, wab_l), ksz, rows_ab) * jnp.float32(coef)
+
+    def kernel(Ft, Fc, Fb, q_ref):
+        Fv = concat3(Ft[:], Fc[:], Fb[:])
+        Sv = sepgauss(Fv)
+        Iv = Fv[rg : rg + R_old, rg : rg + W_old]
+        imu = mean(Iv)
+        pmu = mean(Sv)
+        ipmu = mean(Iv * Sv)
+        iimu = mean(Iv * Iv)
+        a = (ipmu - pmu * imu) / (iimu - imu * imu + jnp.float32(eps))
+        b = pmu - a * imu
+        asum = _ysum(_xsum(a, ksz, wout_l), ksz, band)
+        bsum = _ysum(_xsum(b, ksz, wout_l), ksz, band)
+        Icen = Iv[2 * r : 2 * r + band, 2 * r : 2 * r + wout_l]
+        q_ref[:] = (asum * Icen + bsum) * jnp.float32(coef)
+
+    def pad_rows(x):
+        xr = jnp.pad(x, ((hb2, hb2), (0, 0)), mode=pad_mode(REFLECT101))
+        return jnp.pad(
+            xr, ((band - hb2, hp - h - hb2 + hb), (0, wp - x.shape[1])),
+            mode="edge")
+
+    bpr = band // hb
+    specs = [
+        pl.BlockSpec((hb, wp), lambda i: ((i + 1) * bpr - 1, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((band, wp), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hb, wp), lambda i: ((i + 2) * bpr, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    Fp = pad_rows(fseg)
+    q = pl.pallas_call(
+        kernel,
+        grid=(hp // band,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((band, wout_l), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wout_l), jnp.float32),
+        interpret=interpret_mode(),
+    )(Fp, Fp, Fp)
+    return q[:h, :w_out]
+
+
+@op_jit(static_argnames=("radius_g", "sigma", "radius", "eps"))
+def enhance_tail_pallas(f, radius_g: int, sigma: float, radius: int,
+                        eps: float):
+    """q = guided_filter(I=f, p=gaussian(f, radius_g, sigma), radius, eps)
+    as ONE fused Pallas kernel chain (see _enhance_tail_strip). f is a f32
+    (H, W) frame; reflect-101 borders, 1/ksz^2 normalization."""
+    f = jnp.asarray(f, jnp.float32)
+    h, w = f.shape
+    rg = radius_g
+    r = radius
+    hb2 = 2 * r + rg
+    weights = gaussian_kernel_1d(2 * rg + 1, sigma)
+    fx = jnp.pad(f, ((0, 0), (hb2, hb2)), mode=pad_mode(REFLECT101))
+    outs = []
+    for x0 in range(0, w, _MAX_STRIP):
+        x1 = min(x0 + _MAX_STRIP, w)
+        seg = fx[:, x0 : x1 + 2 * hb2]
+        outs.append(_enhance_tail_strip(seg, rg, weights, r, eps))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def _guided_onepass_ypadded(X, P, r: int, eps: float, self_guided: bool,

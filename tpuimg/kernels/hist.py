@@ -42,6 +42,25 @@ _MAX_GROUP = 1 << 23  # pixels per kernel-call group (f32-exact count bound)
 # — the kernel-only gain is overlap the LUT pass already hides. Keep 32.
 
 
+def _count16x16(hi, lo):
+    """(1, n) nibble planes -> (16, 16) f32 exact counts via one-hot MXU
+    contraction: part[a, b] = #{p : hi_p == a and lo_p == b}."""
+    n = hi.shape[1]
+    bins = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    ohh = (jnp.broadcast_to(hi, (16, n)) == bins).astype(jnp.bfloat16)
+    ohl = (jnp.broadcast_to(lo, (16, n)) == bins).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        ohh, ohl, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _emit_counts(o_ref, part):
+    o_ref[0] = jnp.concatenate(
+        [part, jnp.zeros((16, 112), jnp.float32)], axis=1
+    ).astype(jnp.int32)
+
+
 def _hist_group_kernel(x_ref, o_ref):
     x = x_ref[0].astype(jnp.int32)  # (32, W)
     rows, w = x.shape
@@ -49,24 +68,36 @@ def _hist_group_kernel(x_ref, o_ref):
     # row-major flatten is vreg-granular (W is a multiple of 128)
     hi = (x >> 4).reshape(1, n)
     lo = (x & 15).reshape(1, n)
-    bins = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
-    ohh = (jnp.broadcast_to(hi, (16, n)) == bins).astype(jnp.bfloat16)
-    ohl = (jnp.broadcast_to(lo, (16, n)) == bins).astype(jnp.bfloat16)
-    part = jax.lax.dot_general(
-        ohh, ohl, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (16, 16): part[a, b] = #{p : pixel p == 16a + b}
-    o_ref[0] = jnp.concatenate(
-        [part, jnp.zeros((16, 112), jnp.float32)], axis=1
-    ).astype(jnp.int32)
+    _emit_counts(o_ref, _count16x16(hi, lo))
 
 
-def _run_groups(xg):
-    """xg (G, 32, W) u8 -> (G, 256) int32 counts (zero-padding counted in
-    bin 0; callers correct for it)."""
+def _hist_group_kernel_packed(x_ref, o_ref):
+    """Same contraction over i32 words holding 4 consecutive u8 pixels.
+
+    Callers that must transpose/regroup pixels first (CLAHE tile regroup)
+    do it in i32 — u8 relayouts move a byte per cycle-ish, packed words 4x
+    that — and this kernel unpacks in-register: per byte position one
+    shift/mask pair, then the identical nibble contraction, summed in f32
+    (exact: each part is an exact count, total < 2^24)."""
+    x = x_ref[0]  # (32, W4) int32
+    rows, w4 = x.shape
+    n = rows * w4
+    flat = x.reshape(1, n)
+    part = None
+    for k in range(4):
+        b = (flat >> (8 * k)) & 255
+        p = _count16x16(b >> 4, b & 15)
+        part = p if part is None else part + p
+    _emit_counts(o_ref, part)
+
+
+def _run_groups(xg, packed: bool = False):
+    """xg (G, 32, W) u8 — or (G, 32, W4) i32 of 4-packed pixels when
+    ``packed`` — -> (G, 256) int32 counts (zero-padding counted in bin 0;
+    callers correct for it)."""
     g, rows, w = xg.shape
     out = pl.pallas_call(
-        _hist_group_kernel,
+        _hist_group_kernel_packed if packed else _hist_group_kernel,
         grid=(g,),
         in_specs=[
             pl.BlockSpec((1, rows, w), lambda i: (i, 0, 0),
@@ -108,3 +139,82 @@ def hist256_groups_pallas(x):
     hists = _run_groups(x.reshape(g * k, _ROWS, pp // k // _ROWS))
     hists = jnp.sum(hists.reshape(g, k, 256), axis=1)
     return hists.at[:, 0].add(p - pp)  # undo the zero padding
+
+
+@functools.partial(jax.jit, static_argnames=())
+def hist256_groups_pallas_packed(x):
+    """Per-group histograms of 4-packed pixels: i32 (G, P4) -> (G, 256).
+
+    Each i32 word holds 4 consecutive u8 pixels (little-endian bitcast).
+    Probed for the CLAHE tile regroup (transpose in i32, 4x fewer relayout
+    elements): measured a WASH on v5e — 0.407 vs 0.364 ms for the u8
+    transpose at 4K 8x8 (the XLA i32 transpose is no faster and the
+    in-kernel byte extracts add ~2 ops/px; scripts/probes/clahe_r4_probe).
+    Kept for callers that already hold packed words; the CLAHE path uses
+    hist_tiles_fused below instead."""
+    g, p4 = x.shape
+    k = max(1, -(-p4 // (_MAX_GROUP // 4)))
+    pp4 = round_up(p4, k * _ROWS * 128)
+    x = jnp.pad(x, ((0, 0), (0, pp4 - p4)))
+    hists = _run_groups(x.reshape(g * k, _ROWS, pp4 // k // _ROWS),
+                        packed=True)
+    hists = jnp.sum(hists.reshape(g, k, 256), axis=1)
+    return hists.at[:, 0].add(4 * (p4 - pp4))  # zero words pad bin 0 by 4
+
+
+# VMEM cap for one (thp, wp) u8 row band + its (xtiles, 16, 128) output in
+# the fused-regroup kernel; above it the transpose path takes over
+_FUSED_BAND_BYTES = 6 * 1024 * 1024
+
+
+def _tile_hist_kernel_factory(xtiles: int, th: int, tw: int, thp: int,
+                              twp: int):
+    def kernel(x_ref, o_ref):
+        x = x_ref[0]  # (thp, wp) u8; rows th..thp are zero padding
+        for j in range(xtiles):
+            tile = x[:, j * tw : j * tw + tw].astype(jnp.int32)
+            tile = jnp.concatenate(
+                [tile, jnp.zeros((thp, twp - tw), jnp.int32)], axis=1
+            ) if twp > tw else tile
+            n = thp * twp
+            # twp is a multiple of 128, so this flatten is vreg-granular
+            hi = (tile >> 4).reshape(1, n)
+            lo = (tile & 15).reshape(1, n)
+            o_ref[0, j] = jnp.concatenate(
+                [_count16x16(hi, lo), jnp.zeros((16, 112), jnp.float32)],
+                axis=1).astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("ytiles", "xtiles", "th", "tw"))
+def hist_tiles_fused(ext, ytiles: int, xtiles: int, th: int, tw: int):
+    """CLAHE per-tile histograms WITHOUT the regroup transpose (round 4).
+
+    One grid step per ytile row band; each xtile is carved in-kernel with a
+    static (misaligned) lane slice, lane-padded to a 128 multiple so the
+    flatten into the one-hot contraction stays vreg-granular, and counted
+    with the same 16x16 MXU contraction. The tile rows are pre-padded to a
+    sublane multiple with zeros (one cheap XLA pad) — all padding lands in
+    bin 0 by exactly (thp*twp - th*tw) counts per tile and is subtracted.
+
+    Replaces: u8 regroup transpose (0.127 ms at 4K) + grouped-hist kernel.
+    Caller guarantees ext is exactly (ytiles*th, xtiles*tw)."""
+    thp, twp = round_up(th, _ROWS), round_up(tw, 128)
+    w = xtiles * tw
+    wp = round_up(w, 128)
+    x = ext.reshape(ytiles, th, w)
+    x = jnp.pad(x, ((0, 0), (0, thp - th), (0, wp - w)))
+    kernel = _tile_hist_kernel_factory(xtiles, th, tw, thp, twp)
+    out = pl.pallas_call(
+        kernel,
+        grid=(ytiles,),
+        in_specs=[pl.BlockSpec((1, thp, wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, xtiles, 16, 128), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ytiles, xtiles, 16, 128), jnp.int32),
+        interpret=interpret_mode(),
+    )(x)
+    hists = out[:, :, :, :16].reshape(ytiles * xtiles, 256)
+    return hists.at[:, 0].add(th * tw - thp * twp)

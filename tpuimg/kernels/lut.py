@@ -123,6 +123,105 @@ def lut_gather(table, img):
     return out.astype(table.dtype)
 
 
+def _xrun_map_tiles(rowtabs, x_ref, o_ref, xruns, wp, rows, pad_leftf,
+                    inv_twf, emit):
+    """Shared per-128-lane-tile x-mapping loop of the CLAHE blend kernels.
+
+    ``rowtabs[j]`` = (tl_lo, tl_hi, tr_lo, tr_hi): per-row y-blended left and
+    right corner tables, each (rows, 128), for x-run j. ``xruns`` is the
+    static x-region decomposition [(j, (x_start, x_end, tx1)), ...]; each
+    lane tile statically knows which regions it intersects. ``emit`` converts
+    the blended f32 to the output dtype (u8 trunc-clamp or scaled f32)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    lanef = lane.astype(jnp.float32)
+    for t in range(wp // 128):
+        ts = slice(t * 128, (t + 1) * 128)
+        tile_lo, tile_hi = t * 128, (t + 1) * 128
+        runs = [(j, r) for j, r in xruns
+                if r[0] < tile_hi and r[1] > tile_lo]
+        if not runs:  # alignment-padding lanes right of the image
+            o_ref[:, ts] = jnp.zeros_like(o_ref[:, ts])
+            continue
+        idx = x_ref[:, ts].astype(jnp.int32)
+        lo = jnp.minimum(idx, 127)
+        hi = jnp.maximum(idx - 128, 0)
+        sel = idx < 128
+        txf = (lanef + jnp.float32(tile_lo) + pad_leftf) * inv_twf \
+            - jnp.float32(0.5)  # __fmul_rn by the x reciprocal
+        out = None
+        for j, (x_start, _x_end, tx1) in runs:
+            tl_lo, tl_hi, tr_lo, tr_hi = rowtabs[j]
+            xa = txf - jnp.float32(tx1)
+            xa1 = jnp.float32(1.0) - xa
+            vl = jnp.where(sel, jnp.take_along_axis(
+                tl_lo, lo, axis=1, mode="promise_in_bounds"),
+                jnp.take_along_axis(
+                tl_hi, hi, axis=1, mode="promise_in_bounds"))
+            vr = jnp.where(sel, jnp.take_along_axis(
+                tr_lo, lo, axis=1, mode="promise_in_bounds"),
+                jnp.take_along_axis(
+                tr_hi, hi, axis=1, mode="promise_in_bounds"))
+            val = vl * xa1 + vr * xa
+            if out is None:
+                out = val
+            else:  # straddling tile: this run takes over from x_start
+                out = jnp.where(lane + tile_lo >= x_start, val, out)
+        o_ref[:, ts] = emit(out)
+
+
+def _emit_u8(out):
+    # float -> uchar assignment truncates (with clamp) on the device;
+    # Mosaic has no f32->u8 cast, so round-trip through i32
+    return (jnp.clip(jnp.trunc(out), 0.0, 255.0)
+            .astype(jnp.int32).astype(jnp.uint8))
+
+
+def _lut_kernel_packed_frames(tab_ref, x_ref, o_ref):
+    """Per-frame u8 LUT apply: frame b uses packed table row b."""
+    rows, wp = x_ref.shape[1], x_ref.shape[2]
+    for t in range(wp // 128):
+        ts = slice(t * 128, (t + 1) * 128)
+        idx = x_ref[0, :, ts].astype(jnp.int32)
+        word = jnp.take_along_axis(
+            jnp.broadcast_to(tab_ref[0, 0:1, :], (rows, 128)), idx >> 2,
+            axis=1, mode="promise_in_bounds",
+        )
+        o_ref[0, :, ts] = ((word >> ((idx & 3) * 8)) & 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def lut_gather_frames(tables, imgs):
+    """Batched per-frame LUT apply: u8 tables (B, 256), u8 imgs (B, H, W)
+    -> u8 (B, H, W) with dst[b] = tables[b][imgs[b]].
+
+    One kernel, grid (B, row-blocks): the Pallas path for batched HE at ANY
+    batch size (VERDICT r3 item 4 — the former >8-frame fallback was the
+    HBM-spilling one-hot einsum; the <=8 unrolled form paid one dispatch
+    per frame)."""
+    b, h, w = imgs.shape
+    hp, wp = round_up(h, _BR), round_up(w, 128)
+    x = jnp.pad(imgs, ((0, 0), (0, hp - h), (0, wp - w)))
+    t32 = tables.astype(jnp.int32).reshape(b, 64, 4)
+    shifts = jnp.asarray([0, 8, 16, 24], jnp.int32)
+    packed = jnp.sum(t32 << shifts, axis=-1, dtype=jnp.int32)
+    tab = jnp.pad(packed, ((0, 0), (0, 64))).reshape(b, 1, 128)
+    out = pl.pallas_call(
+        _lut_kernel_packed_frames,
+        grid=(b, hp // _BR),
+        in_specs=[
+            pl.BlockSpec((1, 1, 128), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BR, wp), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _BR, wp), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp), jnp.uint8),
+        interpret=interpret_mode(),
+    )(tab, x)
+    return out[:, :h, :w]
+
+
 def _band_kernel_factory(xruns, wp, rows, *, y0, pad_top, th, ty1, pad_left,
                          inv_tw):
     """One CLAHE y-run band: all x-regions handled inside one kernel.
@@ -165,50 +264,117 @@ def _band_kernel_factory(xruns, wp, rows, *, y0, pad_top, th, ty1, pad_left,
                 tab_ref[8 * j + 3 : 8 * j + 4] * ya1
                 + tab_ref[8 * j + 7 : 8 * j + 8] * ya,
             )
-        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
-        lanef = lane.astype(jnp.float32)
-
-        for t in range(wp // 128):
-            ts = slice(t * 128, (t + 1) * 128)
-            tile_lo, tile_hi = t * 128, (t + 1) * 128
-            runs = [(j, r) for j, r in xruns
-                    if r[0] < tile_hi and r[1] > tile_lo]
-            if not runs:  # alignment-padding lanes right of the image
-                o_ref[:, ts] = jnp.zeros((rows, 128), jnp.uint8)
-                continue
-            idx = x_ref[:, ts].astype(jnp.int32)
-            lo = jnp.minimum(idx, 127)
-            hi = jnp.maximum(idx - 128, 0)
-            sel = idx < 128
-            txf = (lanef + jnp.float32(tile_lo) + pad_leftf) * inv_twf \
-                - jnp.float32(0.5)  # __fmul_rn by the x reciprocal
-            out = None
-            for j, (x_start, _x_end, tx1) in runs:
-                tl_lo, tl_hi, tr_lo, tr_hi = rowtabs[j]
-                xa = txf - jnp.float32(tx1)
-                xa1 = jnp.float32(1.0) - xa
-                vl = jnp.where(sel, jnp.take_along_axis(
-                    tl_lo, lo, axis=1, mode="promise_in_bounds"),
-                    jnp.take_along_axis(
-                    tl_hi, hi, axis=1, mode="promise_in_bounds"))
-                vr = jnp.where(sel, jnp.take_along_axis(
-                    tr_lo, lo, axis=1, mode="promise_in_bounds"),
-                    jnp.take_along_axis(
-                    tr_hi, hi, axis=1, mode="promise_in_bounds"))
-                val = vl * xa1 + vr * xa
-                if out is None:
-                    out = val
-                else:  # straddling tile: this run takes over from x_start
-                    out = jnp.where(lane + tile_lo >= x_start, val, out)
-            # float -> uchar assignment truncates (with clamp) on the device;
-            # Mosaic has no f32->u8 cast, so round-trip through i32
-            o_ref[:, ts] = (
-                jnp.clip(jnp.trunc(out), 0.0, 255.0)
-                .astype(jnp.int32)
-                .astype(jnp.uint8)
-            )
+        _xrun_map_tiles(rowtabs, x_ref, o_ref, xruns, wp, rows, pad_leftf,
+                        inv_twf, _emit_u8)
 
     return kernel
+
+
+def _full_kernel_factory(xruns, wp, rows, n_cand, ytiles, stride, *, pad_top,
+                         th, pad_left, inv_tw, out_f32):
+    """Whole-frame CLAHE mapping: ONE pallas_call for every y-run.
+
+    The per-y-run kernels (clahe_band_map) pay one dispatch + one output
+    concat per run — ~(ytiles+1) launches per frame. Here the y-run base
+    index ty1 is resolved per 32-row grid step with a dynamic sublane slice
+    of the full (ytiles · xtiles · 4, 128) table bank: ty1 is nondecreasing
+    in y, so a block intersects at most ``n_cand`` consecutive bases; each
+    candidate's y-blended row tables are computed and rows select their own
+    base by mask. The blends are built once per TILE COLUMN, not per x-run
+    — adjacent runs share a corner table (tr of run j is tl of run j+1), so
+    this is ~4x less blend work than the per-run form. x-regions stay
+    static exactly as in _band_kernel_factory.
+    """
+    xtiles = stride // 4
+    pad_topf, thf = float(pad_top), float(th)
+    pad_leftf, inv_twf = float(pad_left), float(inv_tw)
+    ymaxf = float(ytiles - 1)
+    # tile columns actually referenced by some run (tx2 = min(tx1+1, last))
+    used_cols = sorted({t for _j, (_s, _e, tx1) in xruns
+                        for t in (tx1, min(tx1 + 1, xtiles - 1))})
+
+    def kernel(tab_ref, x_ref, o_ref):
+        i = pl.program_id(0)
+        y0f = (i * rows).astype(jnp.float32)
+        gy = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+              .astype(jnp.float32) + y0f)
+        tyf = (gy + pad_topf) / thf - jnp.float32(0.5)  # __fdiv_rn semantics
+        # trunc is nonnegative here (tyf >= -0.5 in-image); clamp covers the
+        # bottom alignment-padding rows, which are sliced off by the caller
+        ty1f = jnp.minimum(jnp.trunc(tyf), jnp.float32(ymaxf))
+        u0 = jnp.minimum(
+            jnp.trunc((y0f + pad_topf) / thf - jnp.float32(0.5)),
+            jnp.float32(ymaxf),
+        ).astype(jnp.int32)  # scalar: ty1 of the block's first row
+        coltabs = {}
+        for c in range(n_cand):
+            uc = jnp.minimum(u0 + c, jnp.int32(ytiles - 1))
+            ucf = uc.astype(jnp.float32)
+            tabs = tab_ref[pl.ds(uc * stride, stride)]
+            ya = tyf - ucf  # correct exactly on rows with ty1 == uc
+            ya1 = jnp.float32(1.0) - ya
+            mask = ty1f == ucf
+            for t in used_cols:
+                blend = (
+                    tabs[4 * t + 0 : 4 * t + 1] * ya1
+                    + tabs[4 * t + 2 : 4 * t + 3] * ya,
+                    tabs[4 * t + 1 : 4 * t + 2] * ya1
+                    + tabs[4 * t + 3 : 4 * t + 4] * ya,
+                )
+                if c == 0:
+                    coltabs[t] = blend
+                else:
+                    coltabs[t] = tuple(
+                        jnp.where(mask, b, p)
+                        for b, p in zip(blend, coltabs[t]))
+        rowtabs = {
+            j: coltabs[tx1] + coltabs[min(tx1 + 1, xtiles - 1)]
+            for j, (_s, _e, tx1) in xruns
+        }
+        emit = (lambda out: out) if out_f32 else _emit_u8
+        _xrun_map_tiles(rowtabs, x_ref, o_ref, xruns, wp, rows, pad_leftf,
+                        inv_twf, emit)
+
+    return kernel
+
+
+def clahe_map_full(v, bank, xruns, *, pad_top, th, ytiles, pad_left, inv_tw,
+                   out_f32: bool = False):
+    """Map a whole frame in one launch (see _full_kernel_factory).
+
+    v: u8 (H, W); bank: (ytiles, xtiles, 2, 256) f32 tables, bank[u, t] =
+    (T[u, t], T[min(u+1, ymax), t]) for tile column t; xruns: static
+    [(x_start, x_end, tx1), ...].
+    Returns u8 (H, W), or the raw f32 blend in [0, 255] when out_f32.
+    """
+    h, w = v.shape
+    rows = 32  # grid-step rows (u8 sublane granularity)
+    hp, wp = round_up(h, rows), round_up(w, 128)
+    x = jnp.pad(v, ((0, hp - h), (0, wp - w)))
+    stride = bank.shape[1] * 4
+    tabs = bank.astype(jnp.float32).reshape(ytiles * stride, 128)
+    # a 32-row block spans at most this many consecutive ty1 bases
+    n_cand = min(ytiles, (rows - 1) // max(int(th), 1) + 2)
+    kernel = _full_kernel_factory(
+        list(enumerate(xruns)), wp, rows, n_cand, ytiles, stride,
+        pad_top=pad_top, th=th, pad_left=pad_left, inv_tw=inv_tw,
+        out_f32=out_f32,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(hp // rows,),
+        in_specs=[
+            pl.BlockSpec((tabs.shape[0], 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (hp, wp), jnp.float32 if out_f32 else jnp.uint8),
+        interpret=interpret_mode(),
+    )(tabs, x)
+    return out[:h, :w]
 
 
 def clahe_band_map(v, bank, xruns, *, y0, pad_top, th, ty1, pad_left, inv_tw):

@@ -222,7 +222,11 @@ def integral_pallas(img):
     k = _pick_k(h, -(-w // 128) * 128)
     x, (h, w) = pad_to_multiple(img, _SUB * k, 128, mode="constant")
     hp, wp = x.shape
-    band = min(_SUB * k, hp)
+    band = _SUB * k
+    # the kernel's sub-band indexing assumes rows == _SUB * k exactly;
+    # pad_to_multiple guarantees it (round-3 advisor finding: a silent
+    # band < _SUB*k here would misalign `sub = rows // k`)
+    assert hp % band == 0, (hp, band)
 
     out = pl.pallas_call(
         functools.partial(_fused_scan_kernel, k=k),

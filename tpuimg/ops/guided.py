@@ -150,6 +150,18 @@ def guided_ypadded(Ipad, ppad, radius: int, eps: float, impl: str = "auto"):
     return box(a) * Ic + box(b)
 
 
+def box_filter_ypadded(p, radius: int):
+    """Box mean (reflect-101, 1/ksz²) of a block already padded by
+    ``radius`` rows per side (halo rows from a neighbor shard or the border
+    policy); x is handled locally. Entry point for
+    ``parallel.stencil_sharded`` — the sharded form of ``box_filter``."""
+    p = jnp.asarray(p, jnp.float32)
+    ksz = 2 * radius + 1
+    rows = _window_sum(p, radius, p.ndim - 1, REFLECT101)
+    s = _window_sum(rows, radius, p.ndim - 2, None)
+    return s * jnp.float32(1.0 / (ksz * ksz))
+
+
 @op_jit(static_argnames=("radius", "border"))
 def box_filter(x, radius: int, border: str = SHRINK):
     """Box mean over a (2r+1)² window of a float32 (..., H, W) image.

@@ -65,7 +65,21 @@ def _hist_tiles(ext, ytiles: int, xtiles: int, th: int, tw: int):
     directly) measured SLOWER on v5e — 0.67 vs 0.63 ms total CLAHE at 4K
     8x8: the 64-step small-block grid and per-tile (th_p, tw_p) flatten
     relayouts cost more than the one regroup copy they replace. Keep the
-    transpose."""
+    transpose for oversized tiles.
+
+    Round 4: the usual path is ``hist_tiles_fused`` (kernels/hist.py) — no
+    transpose at all; each ytile row band is read once and the xtiles are
+    carved with static lane slices inside the hist kernel. An i32-packed
+    transpose variant (bitcast 4 cols/lane) was probed and is a wash —
+    the XLA i32 transpose is no faster (scripts/probes/clahe_r4_probe)."""
+    if _on_tpu():
+        from tpuimg.kernels import hist as _h
+
+        thp = cdiv(th, 32) * 32
+        twp = cdiv(tw, 128) * 128
+        if (thp * xtiles * tw <= _h._FUSED_BAND_BYTES
+                and thp * twp <= _h._MAX_GROUP):
+            return _h.hist_tiles_fused(ext, ytiles, xtiles, th, tw)
     tiles = ext.reshape(ytiles, th, xtiles, tw).transpose(0, 2, 1, 3)
     return _hist_groups(tiles.reshape(ytiles * xtiles, th * tw))
 
@@ -123,14 +137,13 @@ def hist_equalize(img, impl: str = "auto"):
         tables = jnp.rint(
             jnp.minimum(jnp.float32(255.0), cdfs * factor)
         ).astype(jnp.uint8)
-        if impl == "pallas" and flat.shape[0] <= 8:
-            # per-frame Pallas lane dynamic-gather (same path as 2D HE);
-            # unrolled calls beat vmap on the band kernels (sep_stencil)
-            from tpuimg.kernels.lut import lut_gather
+        if impl == "pallas":
+            # batched per-frame Pallas gather at any batch size (round 4:
+            # the former >8-frame fallback was the HBM-spilling one-hot
+            # einsum the module docstring warns about)
+            from tpuimg.kernels.lut import lut_gather_frames
 
-            out = jnp.stack([
-                lut_gather(tables[i], flat[i]) for i in range(flat.shape[0])
-            ])
+            out = lut_gather_frames(tables, flat)
         else:
             out = jax.vmap(lut_apply)(tables, flat)
         return out.reshape(lead + img.shape[-2:])
@@ -213,14 +226,21 @@ def _tile_coord_runs(n: int, tiles: int, tsize: int, pad: int, use_recip: bool):
     ]
 
 
-@op_jit(static_argnames=("clip_limit", "xtiles", "ytiles", "impl"))
+@op_jit(static_argnames=("clip_limit", "xtiles", "ytiles", "impl",
+                         "_out_f32"))
 def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
-          impl: str = "auto"):
+          impl: str = "auto", _out_f32: bool = False):
     """CLAHE of a uint8 (H, W) image, matching Claher::run exactly
     (defaults from the demo, Histogram/main.cpp:80-82).
 
     impl="auto": the bilinear mapping runs as the lane-dynamic-gather Pallas
-    kernel (kernels/lut.py) on TPU, or the one-hot einsum form on CPU."""
+    kernel (kernels/lut.py) on TPU, or the one-hot einsum form on CPU.
+
+    ``_out_f32`` (internal, for pipeline fusion): emit the raw bilinear
+    blend in [0, 255] as float32, skipping the final u8 truncation — the
+    enhance pipeline feeds the next stage at full precision instead of
+    round-tripping through uint8 (truncating the blend reproduces the u8
+    output bit-for-bit)."""
     from tpuimg.core.validate import (
         ShapeError, check_image, check_impl, check_positive, check_radius)
 
@@ -282,27 +302,51 @@ def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
     xruns = _tile_coord_runs(w, xtiles, tw, pad_left, use_recip=True)
 
     if impl == "pallas":
-        # one pallas_call per y-run with all x-regions resolved in-kernel
-        # (kernels/lut.py clahe_band_map): ytiles+1 launches per frame
-        # instead of (ytiles+1)*(xtiles+1)
-        from tpuimg.kernels.lut import clahe_band_map
-
         inv_tw = float(np.float32(1.0) / np.float32(tw))
         xinfo = [(x0, x1, tx1) for x0, x1, tx1, _tx2, _ in xruns]
-        bands = []
-        for y0, y1, ty1, ty2, _ in yruns:
+        # a 32-row grid block spans at most n_cand consecutive ty1 bases
+        n_cand = min(ytiles, 31 // max(th, 1) + 2)
+        bank_bytes = ytiles * xtiles * 4 * 128 * 4
+        if n_cand <= 4 and bank_bytes <= (4 << 20):
+            # whole-frame mapping in ONE launch (kernels/lut.py
+            # clahe_map_full): the y-run base resolves per grid step via a
+            # dynamic sublane slice of the full table bank — kills the
+            # per-y-run dispatch + output concat of the band form
+            from tpuimg.kernels.lut import clahe_map_full
+
             idx = []
-            for _x0, _x1, tx1, tx2, _ in xruns:
-                idx += [ty1 * xtiles + tx1, ty1 * xtiles + tx2,
-                        ty2 * xtiles + tx1, ty2 * xtiles + tx2]
+            for u in range(ytiles):
+                ty2u = min(u + 1, ytiles - 1)
+                for t in range(xtiles):
+                    idx += [u * xtiles + t, ty2u * xtiles + t]
             bank = tables[jnp.asarray(idx, jnp.int32)].reshape(
-                len(xruns), 4, 256)
-            bands.append(clahe_band_map(
-                img[y0:y1], bank, xinfo, y0=float(y0),
-                pad_top=float(pad_top), th=float(th), ty1=float(ty1),
-                pad_left=float(pad_left), inv_tw=inv_tw,
-            ))
-        return jnp.concatenate(bands, axis=-2)
+                ytiles, xtiles, 2, 256)
+            return clahe_map_full(
+                img, bank, xinfo, pad_top=float(pad_top), th=float(th),
+                ytiles=ytiles, pad_left=float(pad_left), inv_tw=inv_tw,
+                out_f32=_out_f32,
+            )
+        if not _out_f32:
+            # tiny-tile fallback: one pallas_call per y-run
+            # (kernels/lut.py clahe_band_map)
+            from tpuimg.kernels.lut import clahe_band_map
+
+            bands = []
+            for y0, y1, ty1, ty2, _ in yruns:
+                idx = []
+                for _x0, _x1, tx1, tx2, _ in xruns:
+                    idx += [ty1 * xtiles + tx1, ty1 * xtiles + tx2,
+                            ty2 * xtiles + tx1, ty2 * xtiles + tx2]
+                bank = tables[jnp.asarray(idx, jnp.int32)].reshape(
+                    len(xruns), 4, 256)
+                bands.append(clahe_band_map(
+                    img[y0:y1], bank, xinfo, y0=float(y0),
+                    pad_top=float(pad_top), th=float(th), ty1=float(ty1),
+                    pad_left=float(pad_left), inv_tw=inv_tw,
+                ))
+            return jnp.concatenate(bands, axis=-2)
+        # _out_f32 with tiny tiles: fall through to the XLA blend (small
+        # frames; keeps the f32 semantics identical across impls)
 
     bands = []
     for y0, y1, ty1, ty2, ya_np in yruns:
@@ -320,4 +364,7 @@ def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
             )
             row_chunks.append(_bilinear_blend(t11, t12, t21, t22, xa, ya))
         bands.append(jnp.concatenate(row_chunks, axis=-1))
-    return _blend_to_u8(jnp.concatenate(bands, axis=-2))
+    blend = jnp.concatenate(bands, axis=-2)
+    if _out_f32:
+        return blend
+    return _blend_to_u8(blend)

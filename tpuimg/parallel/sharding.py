@@ -295,9 +295,13 @@ def clahe_sharded(mesh: Mesh, clip_limit: float, xtiles: int, ytiles: int):
                 f"tile grid {xtiles}x{ytiles} needs more reflect padding "
                 f"than the {h}x{w} image can provide"
             )
-        hs = h // n_sp  # shard_map block rows
-        if hs * n_sp != h:
-            raise ValueError(f"H={h} must divide over sp={n_sp} shards")
+        # arbitrary H (round 4): pad rows to a shard multiple; pad rows are
+        # excluded from every tile histogram by the `gy < h` weight clamp
+        # below, and their mapped garbage rows are cropped after shard_map
+        hs = -(-h // n_sp)  # shard_map block rows
+        hpad = hs * n_sp - h
+        if hpad:
+            img = jnp.pad(img, ((0, hpad), (0, 0)))
 
         def hists_weighted(rows_block, wrow):
             """(R, Wext) u8 + (ytiles, R) int weights -> (T, 256) counts.
@@ -340,8 +344,12 @@ def clahe_sharded(mesh: Mesh, clip_limit: float, xtiles: int, ytiles: int):
             gy = o + jnp.arange(hs)  # global rows of this block
             krange = jnp.arange(ytiles)[:, None]
             lo_img = krange * th - pad_top  # tile k's first image row
+            # `gy < h` keeps bottom pad rows (H not a shard multiple) out of
+            # the last tile's identity window; the reflect windows below
+            # only reference rows < h by construction
             wrow = ((gy[None, :] >= lo_img)
-                    & (gy[None, :] < lo_img + th)).astype(jnp.int32)
+                    & (gy[None, :] < lo_img + th)
+                    & (gy[None, :] < h)).astype(jnp.int32)
             for k in range(ytiles):  # top pad: ext rows [k*th, ..) ∩ [0, pad_top)
                 e_lo, e_hi = k * th, min((k + 1) * th, pad_top)
                 if e_lo >= e_hi:
@@ -405,7 +413,8 @@ def clahe_sharded(mesh: Mesh, clip_limit: float, xtiles: int, ytiles: int):
                     xa, ya))
             return _blend_to_u8(jnp.concatenate(chunks, axis=-1))
 
-        return inner(img)
+        out = inner(img)
+        return out[:h] if hpad else out
 
     return run
 
