@@ -57,6 +57,13 @@ def main():
          sol_ms(MB4K_U8 + 4 * MB4K_U8)),
         ("hist_equalize_4k", tpuimg.hist_equalize, img4k_u8, PIX4K, 32,
          sol_ms(3 * MB4K_U8)),  # hist read + map read + map write
+        # batched per-frame HE through the frames-grid Pallas LUT kernel
+        # (VERDICT r3 item 4): 16 independent 1080p frames, one hist/LUT
+        # per frame
+        ("hist_equalize_1080p_b16", tpuimg.hist_equalize,
+         jnp.stack([jnp.roll(img4k_u8[:1080, :1920], i, axis=1)
+                    for i in range(16)]), 16 * PIX1080, 16,
+         sol_ms(3 * 16 * 1080 * 1920)),
         ("clahe_4k_8x8", lambda x: tpuimg.clahe(x, 40.0, 8, 8), img4k_u8,
          PIX4K, 24, sol_ms(3 * MB4K_U8)),
         # fused-path semantics (reflect101, 1/ksz^2) — the reference's own 4K

@@ -393,13 +393,25 @@ def cmd_guided(args):
 
     I, p = jnp.asarray(guide), jnp.asarray(src)
     ok = True
-    for impl in ("xla", "pallas"):
+    # the full runnable impl ladder, like the reference keeps every gaussian
+    # rung runnable in one harness (gaussian.cu:409-663): XLA box chain,
+    # the reference-shaped two-kernel split (gCalcAB/gWeightByABm with A/B
+    # through HBM), and the shipped one-pass fused kernel
+    from tpuimg.kernels.boxsum import guided_filter_pallas
+
+    rungs = [
+        ("xla", lambda v: tpuimg.guided_filter(
+            v, p, args.radius, args.eps, border="reflect101", impl="xla")),
+        ("pallas-twopass", lambda v: guided_filter_pallas(
+            v, p, args.radius, args.eps, variant="twopass")),
+        ("pallas-onepass", lambda v: guided_filter_pallas(
+            v, p, args.radius, args.eps, variant="onepass")),
+    ]
+    for impl, fn in rungs:
         cfg = GuidedConfig(radius=args.radius, eps=args.eps,
-                           border="reflect101", impl=impl)
-        out = np.asarray(tpuimg.guided_filter(I, p, cfg.radius, cfg.eps,
-                                              border=cfg.border, impl=cfg.impl))
-        fn = lambda v: tpuimg.guided_filter(v, p, cfg.radius, cfg.eps,
-                                            border=cfg.border, impl=cfg.impl)
+                           border="reflect101",
+                           impl=impl.split("-")[0])
+        out = np.asarray(fn(I))
         r = _time(fn, I, args.nreps, src.size)
         ok &= _report(f"guided[{impl}] r={cfg.radius}", r.ms, r.gpix_s,
                       _maxdiff(out, ref), 1e-3)
