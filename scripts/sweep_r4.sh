@@ -59,7 +59,7 @@ for cycle in $(seq 0 60); do
   n_mo=$(( $(count 'tpuimg-erode') + $(count 'tpuimg-dilate') ))
   echo "--- cycle $cycle counts clahe=$n_cl gauss=$n_ga guided=$n_gu he=$n_he morph=$n_mo ---" >> "$log"
   done_all=1
-  [ "$n_cl" -lt "$targets_he" ] && { done_all=0; run clahe-autotest    --bucket 1024 --max-size 3072 --runs 14 --seed "$seed"; }
+  [ "$n_cl" -lt "$targets_he" ] && { done_all=0; run clahe-autotest    --bucket 1536 --max-size 3072 --runs 14 --seed "$seed"; }
   [ "$n_ga" -lt "$targets_he" ] && { done_all=0; run gaussian-autotest --bucket 1024 --runs 14 --seed "$seed"; }
   [ "$n_gu" -lt "$targets_he" ] && { done_all=0; run guided-autotest   --bucket 1024 --runs 14 --seed "$seed"; }
   [ "$n_he" -lt "$targets_he" ] && { done_all=0; run he-autotest       --bucket 512  --runs 10 --seed "$seed"; }

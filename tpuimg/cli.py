@@ -245,9 +245,12 @@ def cmd_clahe_autotest(args):
             # the program space stays small enough for the persistent
             # cache to serve reference-scale run counts (the unbucketed
             # path keeps the full random param space)
-            grids = ((2, 2), (4, 4), (8, 8), (3, 5), (6, 6))
+            # round 4: the CLAHE kernel rework invalidated the compile
+            # cache, so the bucketed program space must stay ~24 programs
+            # (each cold clahe compile is minutes on this runtime)
+            grids = ((2, 2), (4, 4), (8, 8))
             xt, yt = grids[int(rng.integers(len(grids)))]
-            ladder = (2.0, 4.0, 40.0)
+            ladder = (2.0, 40.0)
             clip = ladder[int(rng.integers(len(ladder)))]
         # centered padding must satisfy the dLimitSize reflect bound
         # (ops/histogram geometry validation); skip invalid grid draws
