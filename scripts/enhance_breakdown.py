@@ -15,21 +15,36 @@ from tpuimg.profiling import stage_times
 key = jax.random.PRNGKey(0)
 img = jax.random.randint(key, (2160, 3840), 0, 256, jnp.int32).astype(jnp.uint8)
 
+from tpuimg.kernels.boxsum import enhance_tail_pallas
+
 stages = [
-    ("clahe", lambda x: tpuimg.clahe(x, 2.0, 8, 8)),
-    ("to_f32+gaussian", lambda x: tpuimg.gaussian(
-        x.astype(jnp.float32) / 255.0, 2, 1.5)),
-    # x + 0.0 forces a distinct source tracer: the pipeline's guided stage
-    # runs the GENERAL path (guide f != source smooth), not the self-guided
-    # fast path, so the stage must measure the same path
-    ("guided_r8+to_u8", lambda x: jnp.clip(jnp.rint(tpuimg.guided_filter(
-        x, x + jnp.float32(0.0), 8, 1e-3, border="reflect101") * 255.0),
+    # round-4 fused pipeline stages: f32 CLAHE bridge + one-kernel tail
+    ("clahe_f32", lambda x: tpuimg.clahe(x, 2.0, 8, 8, _out_f32=True)),
+    ("fused_tail+to_u8", lambda x: jnp.clip(jnp.rint(enhance_tail_pallas(
+        x * jnp.float32(1.0 / 255.0), 2, 1.5, 8, 1e-3) * 255.0),
         0, 255).astype(jnp.uint8)),
 ]
 times = stage_times(stages, img, iters=24)
-times["enhance_jit"] = __import__("tpuimg.core.timing", fromlist=["time_stream_fn"]) \
-    .time_stream_fn(enhance, img, iters=24, pixels=img.size).ms
-ssum = sum(v for k, v in times.items() if k not in ("chained", "enhance_jit"))
+# the retained staged rungs, for the cross-op fusion delta
+staged = stage_times([
+    ("clahe", lambda x: tpuimg.clahe(x, 2.0, 8, 8)),
+    ("to_f32+gaussian", lambda x: tpuimg.gaussian(
+        x.astype(jnp.float32) / 255.0, 2, 1.5)),
+    # x + 0.0 forces a distinct source tracer: the staged guided stage
+    # runs the GENERAL path (guide f != source smooth), not self-guided
+    ("guided_r8+to_u8", lambda x: jnp.clip(jnp.rint(tpuimg.guided_filter(
+        x, x + jnp.float32(0.0), 8, 1e-3, border="reflect101") * 255.0),
+        0, 255).astype(jnp.uint8)),
+], img, iters=24)
+times.update({f"staged_{k}": v for k, v in staged.items() if k != "chained"})
+from tpuimg.core.timing import time_stream_fn
+
+times["enhance_jit"] = time_stream_fn(enhance, img, iters=24,
+                                      pixels=img.size).ms
+times["enhance_staged_jit"] = time_stream_fn(
+    lambda x: enhance(x, impl="staged"), img, iters=24, pixels=img.size).ms
+ssum = sum(v for k, v in times.items()
+           if k in ("clahe_f32", "fused_tail+to_u8"))
 times["sum_of_stages"] = ssum
 for k, v in times.items():
     print(f"{k:18s} {v:8.3f} ms", flush=True)
