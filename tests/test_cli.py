@@ -120,3 +120,13 @@ def test_cli_sweep(tmp_path, monkeypatch, capsys):
     assert main(["sweep", "morphology", "--radii", "1-2", "--nreps", "2",
                  "--width", "96", "--height", "64"]) == 0
     assert os.path.exists(tmp_path / "sweep_morphology.json")
+
+
+def test_cli_enhance_autotest(tmp_path, monkeypatch, capsys):
+    """Flagship-pipeline randomized parity (fused enhance vs composed NumPy
+    oracles, <=2 gray steps end to end)."""
+    monkeypatch.chdir(tmp_path)
+    assert main(["enhance-autotest", "--runs", "2", "--max-size", "180"]) == 0
+    log = (tmp_path / "res.log").read_text()
+    assert log.count("tpuimg-enhance") == 2
+    assert "2/2 within 2" in capsys.readouterr().out

@@ -312,6 +312,30 @@ def cmd_guided_autotest(args):
     return _autotest(args, run_one, "", tol=1e-4)
 
 
+def cmd_enhance_autotest(args):
+    """Randomized parity for the flagship fused pipeline: enhance(img)
+    (f32 CLAHE bridge + one-kernel gaussian+guided tail) vs the composed
+    NumPy oracles. CLAHE's own contract is ≤1 gray step; the downstream
+    chain is an average-of-averages (non-expanding), so the end-to-end
+    contract is ≤2 steps after the final rint."""
+    import tpuimg
+    from tpuimg.oracle import clahe_ref, gaussian_ref, guided_filter_ref
+    from tpuimg.pipeline import enhance
+
+    def run_one(rng, h, w):
+        h, w, bdesc = _bucket_shape(args, h, w)
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        got = np.asarray(enhance(img))
+        eq = clahe_ref(img, 2.0, 8, 8)
+        f = eq.astype(np.float32) / np.float32(255.0)
+        sm = gaussian_ref(f, 2, 1.5)
+        q = guided_filter_ref(f, sm, 8, 1e-3, border="reflect101")
+        ref = np.clip(np.rint(q * 255.0), 0, 255).astype(np.uint8)
+        return f"-enhance{bdesc}", _maxdiff(got, ref)
+
+    return _autotest(args, run_one, "", tol=2.0)
+
+
 def cmd_he(args):
     import tpuimg
     from tpuimg.oracle import hist_equalize_ref
@@ -653,7 +677,8 @@ def main(argv=None):
 
     for nm, fun, mx in [("clahe-autotest", cmd_clahe_autotest, 4000),
                         ("gaussian-autotest", cmd_gaussian_autotest, 4000),
-                        ("guided-autotest", cmd_guided_autotest, 3000)]:
+                        ("guided-autotest", cmd_guided_autotest, 3000),
+                        ("enhance-autotest", cmd_enhance_autotest, 3000)]:
         ax = sub.add_parser(nm)
         ax.add_argument("--runs", type=int, default=10)
         ax.add_argument("--max-size", type=int, default=mx)
