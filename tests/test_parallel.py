@@ -163,6 +163,57 @@ def test_sharded_ops_validate_inputs(rng, mesh):
         shard_rows(mesh, rng.integers(0, 256, (3, 16, 64), dtype=np.uint8))
 
 
+def test_enhance_sharded_matches_local(rng, mesh):
+    # the flagship chain end-to-end over the mesh: CLAHE (psum hists) +
+    # ONE halo exchange feeding gaussian+guided shard-local, vs the
+    # single-device staged pipeline. CLAHE's fma-ordering tolerance (1 step)
+    # passes through the tail's averaging chain without amplification.
+    from tpuimg.parallel import enhance_sharded
+    from tpuimg.pipeline import enhance
+
+    img = rng.integers(0, 256, (96, 128), dtype=np.uint8)
+    op = enhance_sharded(mesh, 2.0, 4, radius=2, sigma=1.5, gf_radius=4,
+                         gf_eps=1e-3)
+    out = np.asarray(jax.jit(op)(shard_rows(mesh, img)))
+    ref = np.asarray(enhance(img, 2.0, 4, 2, 1.5, 4, 1e-3, impl="staged"))
+    d = np.abs(out.astype(int) - ref.astype(int)).max()
+    assert d <= 1, d
+
+
+def test_enhance_sharded_arbitrary_rows(rng, mesh):
+    # H=90 does not divide over sp=4: the tail pads rows with the true
+    # reflect-101 extension >= (2*gf_radius + radius) deep and crops, so
+    # every kept row reads only true-extension values
+    import jax.numpy as jnp
+
+    from tpuimg.parallel import enhance_sharded
+    from tpuimg.pipeline import enhance
+
+    img = rng.integers(0, 256, (90, 96), dtype=np.uint8)
+    op = enhance_sharded(mesh, 4.0, 3, radius=1, sigma=1.0, gf_radius=4,
+                         gf_eps=1e-2)
+    out = np.asarray(jax.jit(op)(jnp.asarray(img)))
+    ref = np.asarray(enhance(img, 4.0, 3, 1, 1.0, 4, 1e-2, impl="staged"))
+    assert out.shape == ref.shape
+    d = np.abs(out.astype(int) - ref.astype(int)).max()
+    assert d <= 1, d
+
+
+def test_enhance_sharded_validates_inputs(rng, mesh):
+    from tpuimg.core.validate import DTypeError, ParamError
+    from tpuimg.parallel import enhance_sharded
+
+    with pytest.raises(ParamError):
+        enhance_sharded(mesh, gf_eps=0.0)
+    with pytest.raises(ParamError):
+        enhance_sharded(mesh, radius=0)
+    op = enhance_sharded(mesh, tiles=2, gf_radius=2)
+    with pytest.raises(DTypeError):
+        op(rng.random((64, 96), dtype=np.float32))
+    with pytest.raises(ValueError, match="one .H, W. frame"):
+        op(rng.integers(0, 256, (2, 64, 96), dtype=np.uint8))
+
+
 def test_clahe_sharded_arbitrary_rows(rng, mesh):
     # H=70 does NOT divide over sp=4 (VERDICT r3 item 7): the factory pads
     # rows to a shard multiple, masks pad rows out of every tile histogram,

@@ -1,5 +1,6 @@
 from tpuimg.parallel.sharding import (
     clahe_sharded,
+    enhance_sharded,
     guided_filter_sharded,
     hist_equalize_sharded,
     integral_sharded,
@@ -10,7 +11,7 @@ from tpuimg.parallel.sharding import (
 )
 
 __all__ = [
-    "clahe_sharded", "guided_filter_sharded", "hist_equalize_sharded",
-    "integral_sharded", "make_mesh", "shard_batch", "shard_rows",
-    "stencil_sharded",
+    "clahe_sharded", "enhance_sharded", "guided_filter_sharded",
+    "hist_equalize_sharded", "integral_sharded", "make_mesh", "shard_batch",
+    "shard_rows", "stencil_sharded",
 ]

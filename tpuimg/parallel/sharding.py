@@ -419,6 +419,80 @@ def clahe_sharded(mesh: Mesh, clip_limit: float, xtiles: int, ytiles: int):
     return run
 
 
+def enhance_sharded(mesh: Mesh, clip_limit: float = 2.0, tiles: int = 8,
+                    radius: int = 2, sigma: float = 1.5, gf_radius: int = 8,
+                    gf_eps: float = 1e-3):
+    """Row-sharded flagship enhance chain (pipeline.enhance "staged"
+    semantics): CLAHE → gaussian denoise → guided detail restore, end to end
+    over the ``sp`` mesh axis.
+
+    The tail runs as ONE shard_map region with a single halo exchange of
+    depth ``2*gf_radius + radius``: gaussian_ypadded consumes ``radius``
+    halo rows and leaves ``2*gf_radius`` of computed smooth pad for the
+    guided chain — exact at the outer shards because symmetric kernels
+    commute with the reflect-101 mirror (the same identity the fused
+    single-chip tail relies on, kernels/boxsum.py enhance_tail_pallas).
+    The reference has no multi-module chain at all — each demo is a separate
+    executable with host round-trips between them (SURVEY.md §3).
+
+    Arbitrary H: when H doesn't divide over ``sp``, rows are padded with the
+    image's true reflect-101 extension at least ``2*gf_radius + radius``
+    deep, so every kept output row reads only true-extension values (the
+    edge shard's local reflect of a *padded* block diverges from the image's
+    extension closer than that); the pad rows are cropped after shard_map.
+    """
+    from tpuimg.core.validate import check_positive, check_radius
+    from tpuimg.ops.gaussian import gaussian_ypadded
+    from tpuimg.ops.guided import guided_ypadded
+
+    check_radius(radius)
+    check_radius(gf_radius)
+    check_positive(sigma, "sigma")
+    check_positive(gf_eps, "gf_eps")
+    cl = clahe_sharded(mesh, clip_limit, tiles, tiles)
+    n_sp = mesh.shape["sp"]
+    reach = 2 * gf_radius + radius
+
+    def run(img):
+        from tpuimg.core.validate import check_image
+
+        img = jnp.asarray(img)
+        if img.ndim != 2:
+            raise ValueError("enhance_sharded shards one (H, W) frame by rows")
+        check_image(img, "img", dtypes=[jnp.uint8])
+        h, _ = img.shape
+        eq = cl(img)  # u8 CLAHE, staged semantics (inter-stage quantization)
+        f = eq.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        hpad = 0
+        if h % n_sp:
+            hs = -(-(h + reach) // n_sp)  # pad depth >= reach (see docstring)
+            hpad = hs * n_sp - h
+            if hpad > h - 1:
+                raise ValueError(
+                    f"enhance_sharded needs h-1 >= pad rows ({hpad}) to build "
+                    f"the reflect-101 shard padding for H={h} over "
+                    f"{n_sp} sp shards — use fewer shards or a shard-multiple H"
+                )
+            f = jnp.pad(f, ((0, hpad), (0, 0)), mode="reflect")
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=(P("sp", None),),
+            out_specs=P("sp", None),
+            check_vma=False,  # pallas body (see stencil_sharded)
+        )
+        def tail(fb):
+            fp = _halo_exchange(fb, reach, n_sp, "sp", "reflect101")
+            smooth = gaussian_ypadded(fp, radius, sigma)
+            Ip = fp[radius : fp.shape[-2] - radius, :]
+            return guided_ypadded(Ip, smooth, gf_radius, gf_eps)
+
+        q = tail(f)
+        out = jnp.clip(jnp.rint(q * 255.0), 0.0, 255.0).astype(jnp.uint8)
+        return out[:h] if hpad else out
+
+    return run
+
+
 def hist_equalize_sharded(mesh: Mesh):
     """Row-sharded global HE: psum of per-shard/per-image histograms over the
     ``sp`` axis, shared LUT, local application. Batched inputs keep one
