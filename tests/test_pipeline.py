@@ -55,6 +55,24 @@ def test_enhance_identity_scale_preserved(rng):
     assert abs(int(out[0, 0]) - 137) <= 5
 
 
+def test_enhance_vmap_batches_per_frame(rng):
+    """jax.vmap(enhance) batches the flagship chain with per-frame semantics
+    (each frame gets its own CLAHE tile histograms) — bit-identical to the
+    per-frame loop."""
+    import jax
+    import jax.numpy as jnp
+
+    batch = rng.integers(0, 256, (3, 64, 96), dtype=np.uint8)
+    fn = jax.vmap(lambda x: enhance(x, 2.0, 4, 2, 1.5, 4, 1e-3,
+                                    impl="staged"))
+    out = np.asarray(fn(jnp.asarray(batch)))
+    ref = np.stack([
+        np.asarray(enhance(x, 2.0, 4, 2, 1.5, 4, 1e-3, impl="staged"))
+        for x in batch
+    ])
+    np.testing.assert_array_equal(out, ref)
+
+
 @pytest.fixture
 def frame_dir(tmp_path, rng):
     d = tmp_path / "frames"
