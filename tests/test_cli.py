@@ -122,6 +122,18 @@ def test_cli_sweep(tmp_path, monkeypatch, capsys):
     assert os.path.exists(tmp_path / "sweep_morphology.json")
 
 
+def test_cli_enhance_demo(gray_png, capsys):
+    """The flagship demo runs both impls, verifies vs the composed oracle,
+    and writes both result PNGs."""
+    assert main(["enhance", gray_png, "--tiles", "4", "--gf-radius", "4",
+                 "--nreps", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "enhance[fused]" in out and "enhance[staged]" in out
+    assert out.count("[OK]") == 2
+    for impl in ("fused", "staged"):
+        assert os.path.exists(gray_png.replace(".png", f"_enhance_{impl}.png"))
+
+
 def test_cli_enhance_autotest(tmp_path, monkeypatch, capsys):
     """Flagship-pipeline randomized parity (fused enhance vs composed NumPy
     oracles, <=2 gray steps end to end)."""

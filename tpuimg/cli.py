@@ -9,6 +9,7 @@ discipline, and write result PNGs.
     python -m tpuimg integral [--width 3840 --height 2160 --nreps 100]
     python -m tpuimg integral-autotest [--runs 20]
     python -m tpuimg he image.png
+    python -m tpuimg enhance [image.png] [--clip 2.0 --tiles 8 --gf-radius 8]
     python -m tpuimg clahe image.png [--clip 1.0 --xtiles 8 --ytiles 8]
     python -m tpuimg guided [--radius 4 --eps 0.3 --nreps 100] [--src ...]
     python -m tpuimg morphology [--radius 5 --mode 0 --nreps 100] [--src ...]
@@ -334,6 +335,43 @@ def cmd_enhance_autotest(args):
         return f"-enhance{bdesc}", _maxdiff(got, ref)
 
     return _autotest(args, run_one, "", tol=2.0)
+
+
+def cmd_enhance(args):
+    """Flagship pipeline demo: CLAHE → gaussian → guided on one frame,
+    the fused and staged impls timed side by side and verified against the
+    composed NumPy oracles — the chain the reference cannot run in one
+    program (each of its demos is a separate executable with host
+    round-trips between them, SURVEY.md §3)."""
+    import jax.numpy as jnp
+
+    from tpuimg.oracle import clahe_ref, gaussian_ref, guided_filter_ref
+    from tpuimg.pipeline import enhance
+    from tpuimg.utils import imwrite
+
+    img = _load_or_random(args.image, args.width, args.height, np.uint8)
+    eq = clahe_ref(img, args.clip, args.tiles, args.tiles)
+    f = eq.astype(np.float32) / np.float32(255.0)
+    sm = gaussian_ref(f, args.radius, args.sigma)
+    q = guided_filter_ref(f, sm, args.gf_radius, args.gf_eps,
+                          border="reflect101")
+    ref = np.clip(np.rint(q * 255.0), 0, 255).astype(np.uint8)
+
+    x = jnp.asarray(img)
+    ok = True
+    for impl in ("fused", "staged"):
+        fn = lambda v: enhance(v, args.clip, args.tiles, args.radius,
+                               args.sigma, args.gf_radius, args.gf_eps,
+                               impl=impl)
+        out = np.asarray(fn(x))
+        r = _time(fn, x, args.nreps, img.size)
+        # staged == composed oracle within CLAHE's 1-step contract; the
+        # fused f32 bridge adds at most 1 more (enhance-autotest contract)
+        ok &= _report(f"enhance[{impl}]", r.ms, r.gpix_s,
+                      _maxdiff(out, ref), 2 if impl == "fused" else 1)
+        if args.image:
+            imwrite(_out_path(args.image, f"enhance_{impl}"), out)
+    return ok
 
 
 def cmd_he(args):
@@ -691,6 +729,19 @@ def main(argv=None):
     e.add_argument("image")
     e.add_argument("--nreps", type=int, default=20)
     e.set_defaults(fn=cmd_he)
+
+    en = sub.add_parser("enhance")
+    en.add_argument("image", nargs="?", default=None)
+    en.add_argument("--width", type=int, default=3840)
+    en.add_argument("--height", type=int, default=2160)
+    en.add_argument("--clip", type=float, default=2.0)
+    en.add_argument("--tiles", type=int, default=8)
+    en.add_argument("--radius", type=int, default=2)
+    en.add_argument("--sigma", type=float, default=1.5)
+    en.add_argument("--gf-radius", type=int, default=8)
+    en.add_argument("--gf-eps", type=float, default=1e-3)
+    en.add_argument("--nreps", type=int, default=20)
+    en.set_defaults(fn=cmd_enhance)
 
     c = sub.add_parser("clahe")
     c.add_argument("image")
