@@ -340,6 +340,49 @@ def test_enhance_tail_fused_matches_composed(rng, shape):
     assert np.abs(got - ref).max() < 1e-5
 
 
+@pytest.mark.parametrize("shape,tiles", [((150, 200), 4), ((220, 260), 8)])
+def test_enhance_tail_clahe_fused_matches_blend_then_tail(rng, shape, tiles):
+    """The round-5 fully-fused enhance tail (CLAHE blend recomputed
+    IN-KERNEL with mirrored reflect-101 coordinates) must match
+    clahe_map_full's f32 blend fed through the f32 tail kernel to within a
+    few ulps — i.e. blend(pad(img)) == pad(blend(img)) up to FMA
+    contraction, including the frame borders where the halo coordinates
+    fold back inside. (Bitwise equality is NOT attainable: the two
+    separately-compiled kernels may contract the lerp's mul+add into an FMA
+    differently — measured 1-ulp blend scatter on CPU interpret.)"""
+    import jax.numpy as jnp
+
+    from tpuimg.kernels.boxsum import (
+        enhance_tail_clahe_pallas, enhance_tail_pallas)
+    from tpuimg.kernels.lut import clahe_map_full
+    from tpuimg.ops.histogram import _clahe_front, _map_bank, _tile_coord_runs
+
+    h, w = shape
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    tables, th, tw, pad_top, pad_left = _clahe_front(
+        jnp.asarray(img), 2.0, tiles, tiles)
+    bank = _map_bank(tables, tiles, tiles)
+    xinfo = tuple(
+        (x0, x1, tx1) for x0, x1, tx1, _tx2, _ in
+        _tile_coord_runs(w, tiles, tw, pad_left, use_recip=True))
+    inv_tw = float(np.float32(1.0) / np.float32(tw))
+    blend = clahe_map_full(
+        jnp.asarray(img), bank, list(xinfo), pad_top=float(pad_top),
+        th=float(th), ytiles=tiles, pad_left=float(pad_left), inv_tw=inv_tw,
+        out_f32=True)
+    f = blend * jnp.float32(1.0 / 255.0)
+    ref = np.asarray(enhance_tail_pallas(f, 2, 1.5, 8, 1e-3))
+    got = np.asarray(enhance_tail_clahe_pallas(
+        img, bank, 2, 1.5, 8, 1e-3, pad_top=float(pad_top), th=th, tw=tw,
+        ytiles=tiles, xtiles=tiles, pad_left=float(pad_left), inv_tw=inv_tw,
+        xinfo=xinfo))
+    # 1-ulp blend scatter (~3e-5 of 255) through the non-expanding tail
+    assert np.abs(got - ref).max() < 5e-6
+    # and the final u8 frames agree within 1 gray step
+    to_u8 = lambda q: np.clip(np.rint(q * 255.0), 0, 255).astype(int)
+    assert np.abs(to_u8(got) - to_u8(ref)).max() <= 1
+
+
 def test_batched_he_pallas_per_frame_exact_b16(rng):
     """Batch-16 HE through the frames-grid Pallas LUT kernel: every frame
     must match its own single-frame result exactly (VERDICT r3 item 4)."""

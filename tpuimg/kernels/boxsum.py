@@ -292,6 +292,46 @@ def _guided_strip_onepass(Iseg, pseg, r: int, eps: float):
 
 
 
+def _tail_chain(Fv, rg: int, w, r: int, eps: float, band: int, wout_l: int):
+    """The gaussian+guided math of the fused enhance tail, on one assembled
+    f32 view ``Fv`` of (band + 2*(2r+rg), wp >= wout_l + 4r + 2rg) — returns
+    the (band, wout_l) q block. Shared by the f32-input tail kernel
+    (_enhance_tail_strip) and the CLAHE-fused one (_enhance_tail_clahe_strip);
+    op order is identical between them, so swapping the Fv producer cannot
+    change the tail arithmetic."""
+    ksz = 2 * r + 1
+    coef = 1.0 / (ksz * ksz)
+    rows_ab = band + 2 * r
+    R_old = band + 4 * r             # extent the guided chain consumes
+    W_old = wout_l + 4 * r
+    wab_l = wout_l + 2 * r
+    # smooth = separable gaussian on the (R_old, W_old) extent, offset rg
+    acc = w[rg] * Fv[rg : rg + R_old]
+    for k in range(1, rg + 1):
+        acc = acc + w[rg - k] * (
+            Fv[rg - k : rg - k + R_old] + Fv[rg + k : rg + k + R_old])
+    Sv = w[rg] * acc[:, rg : rg + W_old]
+    for k in range(1, rg + 1):
+        Sv = Sv + w[rg - k] * (
+            acc[:, rg - k : rg - k + W_old]
+            + acc[:, rg + k : rg + k + W_old])
+    Iv = Fv[rg : rg + R_old, rg : rg + W_old]
+
+    def mean(x):
+        return _ysum(_xsum(x, ksz, wab_l), ksz, rows_ab) * jnp.float32(coef)
+
+    imu = mean(Iv)
+    pmu = mean(Sv)
+    ipmu = mean(Iv * Sv)
+    iimu = mean(Iv * Iv)
+    a = (ipmu - pmu * imu) / (iimu - imu * imu + jnp.float32(eps))
+    b = pmu - a * imu
+    asum = _ysum(_xsum(a, ksz, wout_l), ksz, band)
+    bsum = _ysum(_xsum(b, ksz, wout_l), ksz, band)
+    Icen = Iv[2 * r : 2 * r + band, 2 * r : 2 * r + wout_l]
+    return (asum * Icen + bsum) * jnp.float32(coef)
+
+
 def _enhance_tail_strip(fseg, rg: int, weights, r: int, eps: float):
     """Fused gaussian+guided band kernel on one x-halo'd strip (round 4).
 
@@ -307,19 +347,13 @@ def _enhance_tail_strip(fseg, rg: int, weights, r: int, eps: float):
     ``fseg`` is (h, w_in) with w_in = w_out + 2*(2r + rg) halo columns.
     """
     h, w_in = fseg.shape
-    ksz = 2 * r + 1
-    coef = 1.0 / (ksz * ksz)
     hb2 = 2 * r + rg                 # total halo depth per side, both axes
     w_out = w_in - 2 * hb2
     wout_l = round_up(w_out, 128)
-    wab_l = wout_l + 2 * r
     wp = round_up(wout_l + 2 * hb2, 128)
     hb = round_up(hb2, 8)
     band = round_up(max(_pick_band(h, wp) * 2, hb), hb)
     hp = round_up(h, band)
-    rows_ab = band + 2 * r
-    R_old = band + 4 * r             # extent the guided chain consumes
-    W_old = wout_l + 4 * r
     w = [float(v) for v in weights]
 
     def concat3(top, cur, bot):
@@ -327,36 +361,9 @@ def _enhance_tail_strip(fseg, rg: int, weights, r: int, eps: float):
             [top[hb - hb2 :], cur, bot[:hb2]], axis=0
         )  # (band + 2*hb2, wp)
 
-    def sepgauss(Fv):
-        """smooth on the (R_old, W_old) extent, offset rg into Fv."""
-        acc = w[rg] * Fv[rg : rg + R_old]
-        for k in range(1, rg + 1):
-            acc = acc + w[rg - k] * (
-                Fv[rg - k : rg - k + R_old] + Fv[rg + k : rg + k + R_old])
-        out = w[rg] * acc[:, rg : rg + W_old]
-        for k in range(1, rg + 1):
-            out = out + w[rg - k] * (
-                acc[:, rg - k : rg - k + W_old]
-                + acc[:, rg + k : rg + k + W_old])
-        return out
-
-    def mean(x):
-        return _ysum(_xsum(x, ksz, wab_l), ksz, rows_ab) * jnp.float32(coef)
-
     def kernel(Ft, Fc, Fb, q_ref):
         Fv = concat3(Ft[:], Fc[:], Fb[:])
-        Sv = sepgauss(Fv)
-        Iv = Fv[rg : rg + R_old, rg : rg + W_old]
-        imu = mean(Iv)
-        pmu = mean(Sv)
-        ipmu = mean(Iv * Sv)
-        iimu = mean(Iv * Iv)
-        a = (ipmu - pmu * imu) / (iimu - imu * imu + jnp.float32(eps))
-        b = pmu - a * imu
-        asum = _ysum(_xsum(a, ksz, wout_l), ksz, band)
-        bsum = _ysum(_xsum(b, ksz, wout_l), ksz, band)
-        Icen = Iv[2 * r : 2 * r + band, 2 * r : 2 * r + wout_l]
-        q_ref[:] = (asum * Icen + bsum) * jnp.float32(coef)
+        q_ref[:] = _tail_chain(Fv, rg, w, r, eps, band, wout_l)
 
     def pad_rows(x):
         xr = jnp.pad(x, ((hb2, hb2), (0, 0)), mode=pad_mode(REFLECT101))
@@ -403,6 +410,115 @@ def enhance_tail_pallas(f, radius_g: int, sigma: float, radius: int,
         x1 = min(x0 + _MAX_STRIP, w)
         seg = fx[:, x0 : x1 + 2 * hb2]
         outs.append(_enhance_tail_strip(seg, rg, weights, r, eps))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
+def _enhance_tail_clahe_strip(useg, tabs, rg: int, weights, r: int,
+                              eps: float, *, h_frame, w_frame, x0, xinfo,
+                              pad_top, th, tw, ytiles, xtiles, pad_left,
+                              inv_tw):
+    """CLAHE-blend + gaussian + guided on one x-halo'd u8 strip (round 5).
+
+    Round 4 left the CLAHE mapping as the last unfused enhance stage: the
+    mapping kernel wrote a full-frame f32 blend that the tail immediately
+    re-read (~0.1 ms of pure HBM round-trip at 4K). Here the tail band
+    kernel reads the RAW u8 strip (4x less read traffic than the f32 blend)
+    plus the (ytiles·xtiles·4, 128) corner-table bank, and recomputes the
+    bilinear blend in-kernel on the halo extent with reflect-101 MIRRORED
+    coordinates (kernels/lut.py make_blend_band) — the same halo-recompute
+    trick already applied to smooth, one stage earlier. Reference precedent:
+    the gCalcAB fused chain, GuidedFilter/guided_filter_d.cu:421-858.
+
+    ``useg`` is u8 (h, w_in), w_in = w_out + 2*(2r + rg); ``x0`` the strip's
+    first output column in frame coordinates.
+    """
+    from tpuimg.kernels.lut import make_blend_band
+
+    h, w_in = useg.shape
+    hb2 = 2 * r + rg                 # total halo depth per side, both axes
+    w_out = w_in - 2 * hb2
+    wout_l = round_up(w_out, 128)
+    wp = round_up(wout_l + 2 * hb2, 128)
+    hb = round_up(hb2, 32)           # u8 blocks: 32-sublane granularity
+    band = round_up(max(_pick_band(h, wp) * 2, hb), hb)
+    hp = round_up(h, band)
+    rows_ext = band + 2 * hb2
+    w = [float(v) for v in weights]
+    blend_fn, _n_cand = make_blend_band(
+        h=h_frame, w=w_frame, x0=x0, hb2=hb2, wp=wp, rows=rows_ext,
+        xinfo=xinfo, pad_top=pad_top, th=th, tw=tw, ytiles=ytiles,
+        xtiles=xtiles, pad_left=pad_left, inv_tw=inv_tw)
+
+    def concat3(top, cur, bot):
+        return jnp.concatenate(
+            [top[hb - hb2 :], cur, bot[:hb2]], axis=0
+        )  # u8 (band + 2*hb2, wp)
+
+    def kernel(tab_ref, Ut, Uc, Ub, q_ref):
+        i = pl.program_id(0)
+        Uv = concat3(Ut[:], Uc[:], Ub[:])
+        Fv = blend_fn(tab_ref, Uv, i * band - hb2) * jnp.float32(1.0 / 255.0)
+        q_ref[:] = _tail_chain(Fv, rg, w, r, eps, band, wout_l)
+
+    def pad_rows(x):
+        xr = jnp.pad(x, ((hb2, hb2), (0, 0)), mode=pad_mode(REFLECT101))
+        return jnp.pad(
+            xr, ((band - hb2, hp - h - hb2 + hb), (0, wp - x.shape[1])),
+            mode="edge")
+
+    bpr = band // hb
+    specs = [
+        pl.BlockSpec((tabs.shape[0], 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hb, wp), lambda i: ((i + 1) * bpr - 1, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((band, wp), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((hb, wp), lambda i: ((i + 2) * bpr, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    Up = pad_rows(useg)
+    q = pl.pallas_call(
+        kernel,
+        grid=(hp // band,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((band, wout_l), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wout_l), jnp.float32),
+        interpret=interpret_mode(),
+    )(tabs, Up, Up, Up)
+    return q[:h, :w_out]
+
+
+@op_jit(static_argnames=("radius_g", "sigma", "radius", "eps", "pad_top",
+                         "th", "tw", "ytiles", "xtiles", "pad_left",
+                         "inv_tw", "xinfo"))
+def enhance_tail_clahe_pallas(img, bank, radius_g: int, sigma: float,
+                              radius: int, eps: float, *, pad_top, th, tw,
+                              ytiles, xtiles, pad_left, inv_tw, xinfo):
+    """q = guided(I=f, p=gaussian(f)) with f = clahe_blend(img)/255, the
+    blend recomputed INSIDE the tail kernel (see _enhance_tail_clahe_strip).
+    ``img`` u8 (H, W); ``bank`` the (ytiles, xtiles, 2, 256) f32 corner-table
+    bank (ops/histogram.py _map_bank); ``xinfo`` the static x-run tuple
+    ((x_start, x_end, tx1), ...). Returns f32 (H, W)."""
+    img = jnp.asarray(img)
+    h, w = img.shape
+    rg, r = radius_g, radius
+    hb2 = 2 * r + rg
+    weights = gaussian_kernel_1d(2 * rg + 1, sigma)
+    stride = xtiles * 4
+    tabs = bank.astype(jnp.float32).reshape(ytiles * stride, 128)
+    # f32 block sublane alignment for tiny tile grids (stride not mult. of 8)
+    tabs = jnp.pad(tabs, ((0, round_up(tabs.shape[0], 8) - tabs.shape[0]),
+                          (0, 0)))
+    ux = jnp.pad(img, ((0, 0), (hb2, hb2)), mode=pad_mode(REFLECT101))
+    outs = []
+    for x0 in range(0, w, _MAX_STRIP):
+        x1 = min(x0 + _MAX_STRIP, w)
+        seg = ux[:, x0 : x1 + 2 * hb2]
+        outs.append(_enhance_tail_clahe_strip(
+            seg, tabs, rg, weights, r, eps, h_frame=h, w_frame=w, x0=x0,
+            xinfo=list(xinfo), pad_top=pad_top, th=th, tw=tw, ytiles=ytiles,
+            xtiles=xtiles, pad_left=pad_left, inv_tw=inv_tw))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 

@@ -377,6 +377,128 @@ def clahe_map_full(v, bank, xruns, *, pad_top, th, ytiles, pad_left, inv_tw,
     return out[:h, :w]
 
 
+def _mirror_interval(a: int, b: int, n: int):
+    """Static image of the integer interval [a, b] under the reflect-101
+    coordinate map m(x) = (n-1) - |(n-1) - |x|| (clamped to [0, n-1])."""
+    cands = [a, b] + [p for p in (0, n - 1, -(n - 1)) if a < p < b]
+    vals = [max(0, min(n - 1, (n - 1) - abs((n - 1) - abs(x))))
+            for x in cands]
+    return min(vals), max(vals)
+
+
+def make_blend_band(*, h, w, x0, hb2, wp, rows, xinfo, pad_top, th, tw,
+                    ytiles, xtiles, pad_left, inv_tw):
+    """In-kernel CLAHE blend for a halo'd band — the mapping stage of the
+    fully-fused enhance tail (kernels/boxsum.py).
+
+    Returns ``blend_fn(tab_ref, Uv, row0) -> f32 (rows, wp)`` evaluating the
+    exact clahe_map_full bilinear blend (f32, [0, 255]) on a (rows, wp) u8
+    view whose frame coordinates are y = row0 + r and x = x0 - hb2 + lane,
+    BOTH mirrored reflect-101 outside the frame. The blend is pointwise in
+    (pixel value, x, y), and the u8 view is padded with the same reflect-101
+    — so blend(pad(img)) == pad(blend(img)) exactly, i.e. recomputing the
+    blend on the halo extent reproduces what padding the blended frame would
+    have produced (the same halo-recompute trick the tail uses for smooth).
+
+    ``tab_ref`` is the (ytiles * xtiles * 4, 128) f32 corner-table bank
+    (clahe_map_full layout); ``row0`` the dynamic frame row of view row 0.
+    Weight formulas and op order match _full_kernel_factory bit for bit on
+    in-frame coordinates (same __fdiv_rn / __fmul_rn semantics).
+    """
+    pad_topf, thf = float(pad_top), float(th)
+    pad_leftf, inv_twf = float(pad_left), float(inv_tw)
+    ymaxf = float(ytiles - 1)
+    stride = xtiles * 4
+    # static per-128-lane-tile run lists over the MIRRORED x interval; at
+    # frame edges a tile's halo lanes fold back inside, so intersection is
+    # computed on the folded interval and per-lane selection below uses the
+    # mirrored coordinate itself (runs partition [0, w))
+    tile_runs = []
+    for t in range(wp // 128):
+        lo_x = x0 - hb2 + t * 128
+        mmin, mmax = _mirror_interval(lo_x, lo_x + 127, w)
+        tile_runs.append([(j, r) for j, r in enumerate(xinfo)
+                          if r[0] <= mmax and r[1] > mmin])
+    used_cols = sorted({c for runs in tile_runs
+                        for _j, (_s, _e, tx1) in runs
+                        for c in (tx1, min(tx1 + 1, xtiles - 1))})
+    # a band's mirrored y interval is no longer than the band itself, so it
+    # spans at most this many consecutive ty1 bases
+    n_cand = min(ytiles, (rows - 1) // max(int(th), 1) + 2)
+
+    def blend_fn(tab_ref, Uv, row0):
+        gy = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) + row0)
+        my = (h - 1) - jnp.abs(jnp.int32(h - 1) - jnp.abs(gy))
+        # clamp covers bottom alignment-padding rows past the mirror range
+        # (their outputs are sliced off; weights just need to stay finite)
+        myf = jnp.clip(my, 0, h - 1).astype(jnp.float32)
+        tyf = (myf + pad_topf) / thf - jnp.float32(0.5)  # __fdiv_rn
+        ty1f = jnp.minimum(jnp.trunc(tyf), jnp.float32(ymaxf))
+        u0 = jnp.min(ty1f).astype(jnp.int32)  # mirror: min over rows, not row0
+        coltabs = {}
+        for c in range(n_cand):
+            uc = jnp.minimum(u0 + c, jnp.int32(ytiles - 1))
+            ucf = uc.astype(jnp.float32)
+            tabs = tab_ref[pl.ds(uc * stride, stride)]
+            ya = tyf - ucf  # correct exactly on rows with ty1 == uc
+            ya1 = jnp.float32(1.0) - ya
+            mask = ty1f == ucf
+            for t in used_cols:
+                blend = (
+                    tabs[4 * t + 0 : 4 * t + 1] * ya1
+                    + tabs[4 * t + 2 : 4 * t + 3] * ya,
+                    tabs[4 * t + 1 : 4 * t + 2] * ya1
+                    + tabs[4 * t + 3 : 4 * t + 4] * ya,
+                )
+                if c == 0:
+                    coltabs[t] = blend
+                else:
+                    coltabs[t] = tuple(
+                        jnp.where(mask, b, p)
+                        for b, p in zip(blend, coltabs[t]))
+        out_tiles = []
+        for t, runs in enumerate(tile_runs):
+            ts = slice(t * 128, (t + 1) * 128)
+            if not runs:  # alignment-padding lanes right of the image
+                out_tiles.append(jnp.zeros((rows, 128), jnp.float32))
+                continue
+            lane = (jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+                    + jnp.int32(x0 - hb2 + t * 128))
+            mx = jnp.clip(
+                (w - 1) - jnp.abs(jnp.int32(w - 1) - jnp.abs(lane)),
+                0, w - 1)
+            txf = (mx.astype(jnp.float32) + jnp.float32(pad_leftf)) \
+                * jnp.float32(inv_twf) - jnp.float32(0.5)
+            idx = Uv[:, ts].astype(jnp.int32)
+            lo = jnp.minimum(idx, 127)
+            hi = jnp.maximum(idx - 128, 0)
+            sel = idx < 128
+            out = None
+            for j, (x_start, _x_end, tx1) in runs:
+                tl_lo, tl_hi = coltabs[tx1]
+                tr_lo, tr_hi = coltabs[min(tx1 + 1, xtiles - 1)]
+                xa = txf - jnp.float32(tx1)
+                xa1 = jnp.float32(1.0) - xa
+                vl = jnp.where(sel, jnp.take_along_axis(
+                    tl_lo, lo, axis=1, mode="promise_in_bounds"),
+                    jnp.take_along_axis(
+                    tl_hi, hi, axis=1, mode="promise_in_bounds"))
+                vr = jnp.where(sel, jnp.take_along_axis(
+                    tr_lo, lo, axis=1, mode="promise_in_bounds"),
+                    jnp.take_along_axis(
+                    tr_hi, hi, axis=1, mode="promise_in_bounds"))
+                val = vl * xa1 + vr * xa
+                if out is None:
+                    out = val
+                else:  # mirrored coordinate picks the owning run per lane
+                    out = jnp.where(mx >= x_start, val, out)
+            out_tiles.append(out)
+        return (out_tiles[0] if len(out_tiles) == 1
+                else jnp.concatenate(out_tiles, axis=1))
+
+    return blend_fn, n_cand
+
+
 def clahe_band_map(v, bank, xruns, *, y0, pad_top, th, ty1, pad_left, inv_tw):
     """Map one full-width CLAHE y-run band.
 

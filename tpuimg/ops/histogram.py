@@ -226,21 +226,17 @@ def _tile_coord_runs(n: int, tiles: int, tsize: int, pad: int, use_recip: bool):
     ]
 
 
-@op_jit(static_argnames=("clip_limit", "xtiles", "ytiles", "impl",
-                         "_out_f32"))
-def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
-          impl: str = "auto", _out_f32: bool = False):
-    """CLAHE of a uint8 (H, W) image, matching Claher::run exactly
-    (defaults from the demo, Histogram/main.cpp:80-82).
+def _clahe_front(img, clip_limit: float, xtiles: int, ytiles: int):
+    """Validated CLAHE front end: per-tile clipped LUTs + mapping geometry.
 
-    impl="auto": the bilinear mapping runs as the lane-dynamic-gather Pallas
-    kernel (kernels/lut.py) on TPU, or the one-hot einsum form on CPU.
+    Everything up to (and excluding) the bilinear 4-LUT mapping of
+    Claher::run (clahe.cpp:26-104): tile geometry, reflect-101 centered
+    extension, per-tile histograms, clip+redistribute, and the float LUTs.
+    Shared by ``clahe`` and the fully-fused enhance pipeline (which maps
+    inside the tail kernel instead of in a separate launch).
 
-    ``_out_f32`` (internal, for pipeline fusion): emit the raw bilinear
-    blend in [0, 255] as float32, skipping the final u8 truncation — the
-    enhance pipeline feeds the next stage at full precision instead of
-    round-tripping through uint8 (truncating the blend reproduces the u8
-    output bit-for-bit)."""
+    Returns (tables (ytiles*xtiles, 256) f32, th, tw, pad_top, pad_left).
+    """
     from tpuimg.core.validate import (
         ShapeError, check_image, check_impl, check_positive, check_radius)
 
@@ -248,7 +244,6 @@ def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
     # uint8 only — a silent jnp.asarray(img, uint8) would turn a [0,1] float
     # image into near-zeros (same contract as hist_equalize)
     check_image(img, "img", dtypes=[jnp.uint8])
-    check_impl(impl)
     # tile counts must be ints >= 1 (0 divides by zero, floats break the
     # shift-based centered-pad math); clip <= 0 would drive the per-tile
     # limit negative and the CDF with it (the reference demo never guards
@@ -294,6 +289,42 @@ def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
     # --- float LUTs: cdf * 255/tile_pixels (gCreateTable) ---
     fr = jnp.float32(255.0 / (tw * th))
     tables = jnp.cumsum(hists, axis=-1).astype(jnp.float32) * fr  # (T, 256)
+    return tables, th, tw, pad_top, pad_left
+
+
+def _map_bank(tables, ytiles: int, xtiles: int):
+    """Corner-table bank for the single-launch mapping kernels: bank[u, t] =
+    (T[u, t], T[min(u+1, ymax), t]) — (ytiles, xtiles, 2, 256) f32."""
+    idx = []
+    for u in range(ytiles):
+        ty2u = min(u + 1, ytiles - 1)
+        for t in range(xtiles):
+            idx += [u * xtiles + t, ty2u * xtiles + t]
+    return tables[jnp.asarray(idx, jnp.int32)].reshape(ytiles, xtiles, 2, 256)
+
+
+@op_jit(static_argnames=("clip_limit", "xtiles", "ytiles", "impl",
+                         "_out_f32"))
+def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
+          impl: str = "auto", _out_f32: bool = False):
+    """CLAHE of a uint8 (H, W) image, matching Claher::run exactly
+    (defaults from the demo, Histogram/main.cpp:80-82).
+
+    impl="auto": the bilinear mapping runs as the lane-dynamic-gather Pallas
+    kernel (kernels/lut.py) on TPU, or the one-hot einsum form on CPU.
+
+    ``_out_f32`` (internal, for pipeline fusion): emit the raw bilinear
+    blend in [0, 255] as float32, skipping the final u8 truncation — the
+    enhance pipeline feeds the next stage at full precision instead of
+    round-tripping through uint8 (truncating the blend reproduces the u8
+    output bit-for-bit)."""
+    from tpuimg.core.validate import check_impl
+
+    check_impl(impl)
+    img = jnp.asarray(img)
+    tables, th, tw, pad_top, pad_left = _clahe_front(
+        img, clip_limit, xtiles, ytiles)
+    h, w = img.shape[-2], img.shape[-1]
 
     # --- bilinear 4-LUT interpolation, region-decomposed ---
     if impl == "auto":
@@ -314,13 +345,7 @@ def clahe(img, clip_limit: float = 1.0, xtiles: int = 8, ytiles: int = 8,
             # per-y-run dispatch + output concat of the band form
             from tpuimg.kernels.lut import clahe_map_full
 
-            idx = []
-            for u in range(ytiles):
-                ty2u = min(u + 1, ytiles - 1)
-                for t in range(xtiles):
-                    idx += [u * xtiles + t, ty2u * xtiles + t]
-            bank = tables[jnp.asarray(idx, jnp.int32)].reshape(
-                ytiles, xtiles, 2, 256)
+            bank = _map_bank(tables, ytiles, xtiles)
             return clahe_map_full(
                 img, bank, xinfo, pad_top=float(pad_top), th=float(th),
                 ytiles=ytiles, pad_left=float(pad_left), inv_tw=inv_tw,
