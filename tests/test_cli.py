@@ -123,14 +123,15 @@ def test_cli_sweep(tmp_path, monkeypatch, capsys):
 
 
 def test_cli_enhance_demo(gray_png, capsys):
-    """The flagship demo runs both impls, verifies vs the composed oracle,
-    and writes both result PNGs."""
+    """The flagship demo runs the 3-rung impl ladder (fused / fused1 /
+    staged), verifies each vs the composed oracle, and writes the PNGs."""
     assert main(["enhance", gray_png, "--tiles", "4", "--gf-radius", "4",
                  "--nreps", "2"]) == 0
     out = capsys.readouterr().out
-    assert "enhance[fused]" in out and "enhance[staged]" in out
-    assert out.count("[OK]") == 2
-    for impl in ("fused", "staged"):
+    assert ("enhance[fused]" in out and "enhance[fused1]" in out
+            and "enhance[staged]" in out)
+    assert out.count("[OK]") == 3
+    for impl in ("fused", "fused1", "staged"):
         assert os.path.exists(gray_png.replace(".png", f"_enhance_{impl}.png"))
 
 

@@ -79,12 +79,42 @@ def cmd_gaussian(args):
     ref = gaussian_ref(img, args.radius, args.sigma)
     x = jnp.asarray(img)
     ok = True
-    for impl in ("xla", "pallas"):
-        cfg = GaussianConfig(radius=args.radius, sigma=args.sigma, impl=impl)
-        fn = lambda v: tpuimg.gaussian(v, cfg.radius, cfg.sigma, impl=cfg.impl)
+
+    # the full runnable impl ladder (round 5, VERDICT r4 item 8), like the
+    # reference keeps all five gaussian rungs timed in one harness
+    # (gaussian.cu:409-663): naive full-window 2D conv, the separable split
+    # (XLA), and the VMEM-band Pallas kernel (the shared-mem tile + rolling
+    # strip rungs, subsumed per SURVEY §2.1)
+    import jax
+
+    from tpuimg.core.kernelgen import gaussian_kernel_1d
+
+    rr, sg = args.radius, args.sigma
+    k1 = np.asarray(gaussian_kernel_1d(2 * rr + 1, sg))
+    k2 = np.outer(k1, k1).astype(np.float32)
+
+    @jax.jit
+    def naive2d(v):
+        # (2r+1)^2 shifted adds, no separability — the naive rung
+        # (gGaussianFilter, gaussian.cu:conv loop)
+        xp = jnp.pad(v, rr, mode="reflect")
+        acc = jnp.zeros_like(v)
+        for i in range(2 * rr + 1):
+            for j in range(2 * rr + 1):
+                acc = acc + jnp.float32(k2[i, j]) * xp[i : i + h, j : j + w]
+        return acc
+
+    rungs = [
+        ("naive2d", naive2d),
+        ("xla", lambda v: tpuimg.gaussian(v, rr, sg, impl="xla")),
+        ("pallas", lambda v: tpuimg.gaussian(v, rr, sg, impl="pallas")),
+    ]
+    for impl, fn in rungs:
+        if impl != "naive2d":
+            GaussianConfig(radius=rr, sigma=sg, impl=impl)  # validate
         out = np.asarray(fn(x))
         r = _time(fn, x, args.nreps, h * w)
-        ok &= _report(f"gaussian[{impl}] r={cfg.radius}", r.ms, r.gpix_s,
+        ok &= _report(f"gaussian[{impl}] r={rr}", r.ms, r.gpix_s,
                       _maxdiff(out, ref), 1e-4)
         if args.src:
             imwrite(_out_path(args.src, f"gauss_{impl}"),
@@ -114,8 +144,11 @@ def cmd_integral(args):
 def _autotest(args, run_one, tag, tol: float = 0.0):
     """Randomized-shape property loop (reference autoTestDemo,
     Integral/main.cpp:154-237), appending one line per run to res.log.
-    `run_one(rng, h, w) -> (desc, diff)`; integer ops require diff == 0,
-    float/quantized ops pass `tol` (e.g. 1 gray step for CLAHE)."""
+    `run_one(rng, h, w) -> (desc, diff[, tol])`; integer ops require
+    diff == 0, float/quantized ops pass `tol` (e.g. 1 gray step for CLAHE).
+    A 3-tuple return overrides the family tolerance for that run (mixed-mode
+    families: the guided shrink/CN1 class paths carry the 1e-3 float
+    contract, the fused reflect path the tighter 1e-4)."""
     rng = np.random.default_rng(args.seed)
     failures = 0
     done = 0
@@ -129,13 +162,15 @@ def _autotest(args, run_one, tag, tol: float = 0.0):
                 break
             h = int(rng.integers(64, args.max_size))
             w = int(rng.integers(64, args.max_size))
-            desc, diff = run_one(rng, h, w)
+            res = run_one(rng, h, w)
+            desc, diff = res[0], res[1]
+            rtol = res[2] if len(res) > 2 else tol
             line = (f"Size: {w} x {h}, Max difference of tpuimg{tag}{desc} "
                     f"and oracle: {diff:g}")
             print(line, flush=True)
             log.write(line + "\n")
             log.flush()
-            failures += diff > tol
+            failures += diff > rtol
             done += 1
     word = "exact" if tol == 0 else f"within {tol:g}"
     print(f"{done - failures}/{done} {word}")
@@ -297,7 +332,6 @@ def cmd_guided_autotest(args):
     def run_one(rng, h, w):
         h, w, bdesc = _bucket_shape(args, h, w)
         I = rng.random((h, w), dtype=np.float32)
-        p = rng.random((h, w), dtype=np.float32)
         r = int(rng.integers(1, 17))
         if args.bucket:
             # radius is a static arg; ladder it in bucketed mode (covers
@@ -306,6 +340,26 @@ def cmd_guided_autotest(args):
             r = max(v for v in ladder if v <= r)
         if min(h, w) <= 2 * r:  # fused-path geometry bound
             r = max(1, min(h, w) // 2 - 1)
+        # round 5 (VERDICT r4 item 5): the randomized record also covers the
+        # reference's CLASS-path semantics — shrink-window border and the
+        # CN1 3-channel-source/gray-guide variant
+        # (GuidedFilter/guided_filter.cpp:28-66) — not just the fused
+        # reflect-101 path. Those run the f32 cumsum-based XLA chain, whose
+        # contract tolerance is 1e-3 (BASELINE.json); the fused reflect
+        # path keeps the tighter 1e-4.
+        mode = ("reflect", "shrink", "cn1", "reflect")[int(rng.integers(4))]
+        if mode == "cn1":
+            p = rng.random((3, h, w), dtype=np.float32)
+            got = tpuimg.guided_filter(I, p, r, 1e-3, border="shrink")
+            ref = np.stack([
+                guided_filter_ref(I, pc, r, 1e-3, border="shrink")
+                for pc in p])
+            return f"-guided-cn1 r{r}{bdesc}", _maxdiff(got, ref), 1e-3
+        p = rng.random((h, w), dtype=np.float32)
+        if mode == "shrink":
+            got = tpuimg.guided_filter(I, p, r, 1e-3, border="shrink")
+            ref = guided_filter_ref(I, p, r, 1e-3, border="shrink")
+            return f"-guided r{r} shrink{bdesc}", _maxdiff(got, ref), 1e-3
         got = tpuimg.guided_filter(I, p, r, 1e-3, border="reflect101")
         ref = guided_filter_ref(I, p, r, 1e-3, border="reflect101")
         return f"-guided r{r}{bdesc}", _maxdiff(got, ref)
@@ -359,16 +413,20 @@ def cmd_enhance(args):
 
     x = jnp.asarray(img)
     ok = True
-    for impl in ("fused", "staged"):
+    # 3-rung ladder: default 2-launch fused, the opt-in single-launch
+    # fused1 (loses 0.11 ms at 4K — docs/PERFORMANCE.md round-5 probe),
+    # and the user-composable staged form
+    for impl in ("fused", "fused1", "staged"):
         fn = lambda v: enhance(v, args.clip, args.tiles, args.radius,
                                args.sigma, args.gf_radius, args.gf_eps,
                                impl=impl)
         out = np.asarray(fn(x))
         r = _time(fn, x, args.nreps, img.size)
-        # staged == composed oracle within CLAHE's 1-step contract; the
-        # fused f32 bridge adds at most 1 more (enhance-autotest contract)
+        # both impls share the enhance-autotest <=2-step contract: CLAHE's
+        # permitted 1-step deviation propagated through the tail can cross
+        # an rint boundary even on the staged path (ADVICE r4)
         ok &= _report(f"enhance[{impl}]", r.ms, r.gpix_s,
-                      _maxdiff(out, ref), 2 if impl == "fused" else 1)
+                      _maxdiff(out, ref), 2)
         if args.image:
             imwrite(_out_path(args.image, f"enhance_{impl}"), out)
     return ok

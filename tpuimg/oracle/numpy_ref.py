@@ -184,12 +184,28 @@ def box_filter_ref(img: np.ndarray, radius: int, border: str = "shrink") -> np.n
         ksz = 2 * radius + 1
         pad = [(radius, radius), (radius, radius)] + [(0, 0)] * (img.ndim - 2)
         p = np.pad(img, pad, mode=pad_mode(REFLECT101))
-        out = np.zeros_like(img)
-        for dy in range(ksz):
-            for dx in range(ksz):
-                out += p[dy : dy + h, dx : dx + w]
+        # separable sliding-window sums via cumsum-diff in f64 — O(1)/px
+        # instead of the former (2r+1)^2 shifted adds (which dominated the
+        # randomized-autotest wall clock at ~47 s per 2048^2 r=8 guided
+        # oracle on this 1-core host). The summation ORDER differs from a
+        # direct window sum, but in f64 that is ~1e-16 relative — far below
+        # every parity tolerance this oracle backs (>= 1e-4).
+        out = _win1d(_win1d(p, ksz, 0), ksz, 1)
         return (out / (ksz * ksz)).astype(np.float32)
     raise ValueError(f"unknown border {border!r}")
+
+
+def _win1d(a: np.ndarray, ksz: int, axis: int) -> np.ndarray:
+    """Sliding sum of every length-`ksz` window along `axis` (valid mode)."""
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (1, 0)
+    c = np.pad(np.cumsum(a, axis=axis, dtype=np.float64), pad)
+    n = a.shape[axis] - ksz + 1
+    hi = [slice(None)] * a.ndim
+    lo = [slice(None)] * a.ndim
+    hi[axis] = slice(ksz, ksz + n)
+    lo[axis] = slice(0, n)
+    return c[tuple(hi)] - c[tuple(lo)]
 
 
 def guided_filter_ref(
