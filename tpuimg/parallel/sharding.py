@@ -446,7 +446,7 @@ def enhance_sharded(mesh: Mesh, clip_limit: float = 2.0, tiles: int = 8,
     from tpuimg.ops.guided import guided_ypadded
 
     check_radius(radius)
-    check_radius(gf_radius)
+    check_radius(gf_radius, name="gf_radius")
     check_positive(sigma, "sigma")
     check_positive(gf_eps, "gf_eps")
     cl = clahe_sharded(mesh, clip_limit, tiles, tiles)
