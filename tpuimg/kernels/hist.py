@@ -142,6 +142,28 @@ def hist256_groups_pallas(x):
 
 
 @functools.partial(jax.jit, static_argnames=())
+def hist256_frames_pallas(frames):
+    """Per-frame histograms of a u8 (B, H, W) stack -> (B, 256) int32, exact.
+
+    The frame-shaped form of ``hist256_groups_pallas``: each frame is carved
+    into 32-row bands (the single-frame regime) instead of one flat
+    multi-MPix lane group. Two measured wins at 1080p b16 (probe
+    he_batch_r5b, 2026-08-19): the alignment pad is a row append on the
+    frame axis (0.082 ms) instead of a strided inner-dim relayout
+    (0.180 ms), and the (32, wp) contraction blocks run at the single-frame
+    rate — 0.861 vs 1.060 ms for the flat-groups form (38.5 vs 31.3
+    GPix/s). Per-band counts are < 2^23 px for any wp < 256K, so the f32
+    MXU accumulation stays exact with no subgroup split."""
+    b, h, w = frames.shape
+    hp, wp = round_up(h, _ROWS), round_up(w, 128)
+    x = jnp.pad(frames, ((0, 0), (0, hp - h), (0, wp - w)))
+    nb = hp // _ROWS
+    hists = _run_groups(x.reshape(b * nb, _ROWS, wp))
+    hists = jnp.sum(hists.reshape(b, nb, 256), axis=1)
+    return hists.at[:, 0].add(h * w - hp * wp)  # undo the zero padding
+
+
+@functools.partial(jax.jit, static_argnames=())
 def hist256_groups_pallas_packed(x):
     """Per-group histograms of 4-packed pixels: i32 (G, P4) -> (G, 256).
 
