@@ -77,6 +77,19 @@ def test_hist256_pallas_exact(rng):
             got[t], np.bincount(groups[t], minlength=256))
 
 
+def test_hist256_frames_rowband_exact(rng):
+    """The frame-shaped batched-HE hist path (round 5: per-frame 32-row
+    bands, row-append pad) must count exactly — including frames needing
+    both row (H % 32) and lane (W % 128) padding."""
+    from tpuimg.kernels.hist import hist256_frames_pallas
+
+    frames = rng.integers(0, 256, (5, 45, 173), dtype=np.uint8)
+    got = np.asarray(hist256_frames_pallas(frames))
+    for t in range(5):
+        np.testing.assert_array_equal(
+            got[t], np.bincount(frames[t].ravel(), minlength=256))
+
+
 def test_hist256_groups_split_path_exact(rng, monkeypatch):
     """Groups above _MAX_GROUP split into int32-summed subgroups so the f32
     MXU accumulation can't round (an 8K frame is one 33 MPix group in the
